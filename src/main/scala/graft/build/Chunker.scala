@@ -1,0 +1,103 @@
+package graft.build
+
+import graft.core._
+import graft.functions.TextFns
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Chunk packing — the one order-dependent fold of the pipeline
+  * (reference eschergraph/builder/reader/reader.py:93-154):
+  *
+  *   - spans sorted by `offset`; only `text` and `section_header` kinds
+  *     feed chunks (tables/figures take the visual extraction path,
+  *     reference build_pipeline.py:310-373);
+  *   - accumulate span texts (joined "\n") until the 400-token budget is
+  *     exceeded → emit chunk, monotone chunk_id;
+  *   - force a break *before* a section_header span when the current chunk
+  *     already holds > 0.7 × budget tokens;
+  *   - post-filter: keep a chunk iff len >= 100 and non-alpha ratio
+  *     (whitespace removed) <= 0.40 (reference reader.py:188-224).
+  *
+  * Expressed as `groupByKey(doc_id).flatMapGroups` — typed, Catalyst-planned,
+  * shuffles once on doc_id; per-group state is O(one chunk), so a single
+  * document of any realistic size streams through without materializing.
+  */
+object Chunker {
+  val OptimalTokens = 400
+  val HeaderBreakRatio = 0.7
+
+  /** Pure per-doc fold, reused by tests and the Spark stage. */
+  def packDoc(docId: String, spans: Iterator[Span]): Iterator[Chunk] = {
+    val relevant = spans
+      .filter(s => s.kind == Kinds.Text || s.kind == Kinds.SectionHeader)
+      .toArray
+      .sortBy(_.offset)
+    val out = Vector.newBuilder[Chunk]
+    val buf = new StringBuilder
+    var bufTokens = 0
+    var chunkId = 0
+    def emit(): Unit = {
+      if (buf.nonEmpty) {
+        out += Chunk(docId, chunkId, buf.toString, bufTokens)
+        chunkId += 1
+        buf.clear()
+        bufTokens = 0
+      }
+    }
+    var i = 0
+    while (i < relevant.length) {
+      val s = relevant(i)
+      val t = TextFns.estimateTokens(s.text)
+      val headerBreak =
+        s.kind == Kinds.SectionHeader && bufTokens > HeaderBreakRatio * OptimalTokens
+      if (headerBreak || (bufTokens > 0 && bufTokens + t > OptimalTokens)) emit()
+      if (buf.nonEmpty) buf.append('\n')
+      buf.append(s.text)
+      bufTokens += t
+      i += 1
+    }
+    emit()
+    out.result().iterator.filter(c => keep(c.text))
+  }
+
+  /** Chunk keep-filter (scala side; column twin is TextFns.chunkKeep). */
+  def keep(text: String): Boolean = {
+    if (text.length < 100) return false
+    val noWs = text.filterNot(_.isWhitespace)
+    if (noWs.isEmpty) return false
+    val nonAlpha = noWs.count(c => !Character.isLetter(c) || c > 'z')
+    nonAlpha.toDouble / noWs.length <= 0.4
+  }
+
+  def chunks(docs: Dataset[DocRow]): Dataset[Chunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.doc_id)
+      .flatMapGroups { (docId, rows) =>
+        packDoc(docId, rows.flatMap(_.spans))
+      }
+  }
+
+  /** Visual spans (tables + figures) routed to L5/L6 extraction. */
+  def visualSpans(docs: Dataset[DocRow]): Dataset[(String, Span)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(d =>
+      d.spans.filter(s => s.kind == Kinds.Table || s.kind == Kinds.Figure).map(s => (d.doc_id, s)))
+  }
+
+  /** Full document text (reference reader.py:100-101): all chunkable spans
+    * in offset order joined with "\n". Used for keywords/summary (L1/L2). */
+  def fullTexts(docs: Dataset[DocRow]): Dataset[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map { d =>
+      val txt = d.spans
+        .filter(s => s.kind == Kinds.Text || s.kind == Kinds.SectionHeader)
+        .sortBy(_.offset)
+        .map(_.text)
+        .mkString("\n")
+      (d.doc_id, txt)
+    }
+  }
+}

@@ -1,0 +1,173 @@
+package graft.community
+
+import graft.core._
+import graft.link.ConnectedComponents
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Community layer + document node (reference
+  * eschergraph/tools/community_builder.py:29-121 and
+  * eschergraph/builder/build_pipeline.py:132-170).
+  *
+  * The reference runs Leiden (leidenalg C library) over the level-0 graph
+  * and builds one level-1 community node per partition, then a level-2
+  * document node whose children are the communities. No GraphFrames /
+  * igraph jar exists here, and community *membership* does not affect the
+  * triple parity surface (SURVEY.md §7.5), so we compute communities as
+  * connected components via the same iterative DataFrame union-find used
+  * for linking, preserving the reference's structural invariants that its
+  * tests assert (tests/tools/test_community_builder.py:76-182):
+  *   - partitions disjointly cover the level-0 nodes;
+  *   - the level-1 edge set equals the set of community-crossing level-0
+  *     edges (one per crossing source edge, description "");
+  *   - community findings become properties of the community node;
+  *   - the document node's children are the communities, communities point
+  *     to the document node as parent.
+  *
+  * Deterministic community report (L8 stand-in): title = top-degree member
+  * name + " network"; summary = sorted member names; findings = up to 5
+  * member properties (sorted).
+  */
+object Communities {
+
+  case class CommunityLayer(
+      nodesWithCommunity: DataFrame, // level-0 nodes with community_id filled
+      communityNodes: DataFrame, // level-1 NodeRow-shaped
+      communityEdges: DataFrame, // level-1 EdgeRow-shaped
+      communityProperties: DataFrame, // PropertyRow-shaped (findings)
+      docNodes: DataFrame, // level-2 NodeRow-shaped
+      docProperties: DataFrame) // keyword properties of doc nodes
+
+  private val commIdUdf = udf((doc: String, minMember: String) => Ids.communityId(doc, minMember, 1))
+  private val docNodeIdUdf = udf((doc: String) => Ids.of("docnode", doc))
+  private val propIdUdf = udf((n: String, d: String) => Ids.propertyId(n, d))
+  private val edgeIdUdf = udf((a: String, b: String, d: String) => Ids.edgeId(a, b, d))
+
+  def build(
+      nodes: Dataset[NodeRow],
+      edges: Dataset[EdgeRow],
+      properties: Dataset[PropertyRow],
+      docKeywords: DataFrame, // (doc_id, keywords: array<string>)
+      docSummaries: DataFrame // (doc_id, summary)
+  ): CommunityLayer = {
+    val spark = nodes.sparkSession
+
+    val n0 = nodes.toDF()
+      .withColumn("doc_id", element_at(col("metadata"), 1).getField("document_id"))
+      .localCheckpoint(true)
+
+    // --- components over the level-0 graph (per doc: node ids embed doc) --
+    val vertices = n0.select(col("doc_id").as("key"), col("id").as("v"))
+    val edgePairs = edges.toDF().select(
+      element_at(col("metadata"), 1).getField("document_id").as("key"),
+      col("frm").as("a"), col("to").as("b"))
+    val comps = ConnectedComponents.run(vertices, edgePairs)
+      .select(col("key").as("doc_id"), col("v").as("node_id"), col("component"))
+      .localCheckpoint(true)
+
+    val commIds = comps
+      .groupBy(col("doc_id"), col("component"))
+      .agg(min(col("node_id")).as("min_member"))
+      .select(col("doc_id"), col("component"),
+        commIdUdf(col("doc_id"), col("min_member")).as("community_id"))
+
+    val membership = comps.join(commIds, Seq("doc_id", "component"))
+      .select(col("doc_id"), col("node_id"), col("community_id"))
+      .localCheckpoint(true)
+
+    // --- level-0 nodes annotated with their community ---------------------
+    val nodesWithCommunity = n0
+      .join(membership.select(col("node_id").as("m_id"), col("community_id").as("cid")),
+        col("id") === col("m_id"), "left")
+      .select(col("id"), col("name"), col("description"), col("level"), col("is_visual"),
+        coalesce(col("cid"), lit("")).as("community_id"), col("child_ids"), col("metadata"))
+
+    // --- degree for report titles -----------------------------------------
+    val degree = edges.toDF()
+      .select(explode(array(col("frm"), col("to"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("deg"))
+
+    val memberInfo = membership
+      .join(n0.select(col("id").as("node_id"), col("name")), Seq("node_id"))
+      .join(degree, Seq("node_id"), "left")
+      .na.fill(0L, Seq("deg"))
+
+    // --- community node rows ------------------------------------------------
+    val communityNodes = memberInfo
+      .groupBy(col("doc_id"), col("community_id"))
+      .agg(
+        max(struct(col("deg"), col("name"))).as("top"),
+        array_sort(collect_list(col("name"))).as("member_names"),
+        array_sort(collect_list(col("node_id"))).as("child_ids"))
+      .select(
+        col("community_id").as("id"),
+        concat(col("top.name"), lit(" network")).as("name"),
+        concat_ws(", ", col("member_names")).as("description"),
+        lit(1).as("level"),
+        lit(false).as("is_visual"),
+        docNodeIdUdf(col("doc_id")).as("community_id"), // parent = doc node
+        col("child_ids"),
+        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"))).as("metadata"),
+        col("doc_id"))
+
+    // --- findings: member properties → community properties (<=5) ---------
+    val memberProps = membership
+      .join(properties.toDF().select(col("node_id"), col("description").as("pdesc")), Seq("node_id"))
+      .groupBy(col("doc_id"), col("community_id"))
+      .agg(slice(array_sort(collect_set(col("pdesc"))), 1, 5).as("findings"))
+    val communityProperties = memberProps
+      .select(col("doc_id"), col("community_id"), explode(col("findings")).as("description"))
+      .select(
+        propIdUdf(col("community_id"), col("description")).as("id"),
+        col("community_id").as("node_id"),
+        col("description"),
+        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"))).as("metadata"))
+
+    // --- inter-community edges: one per crossing source edge --------------
+    val mFrm = membership.select(col("node_id").as("frm"), col("community_id").as("comm_frm"))
+    val mTo = membership.select(col("node_id").as("to"), col("community_id").as("comm_to"))
+    val communityEdges = edges.toDF()
+      .join(mFrm, Seq("frm")).join(mTo, Seq("to"))
+      .filter(col("comm_frm") =!= col("comm_to"))
+      .select(
+        edgeIdUdf(least(col("comm_frm"), col("comm_to")),
+          greatest(col("comm_frm"), col("comm_to")), col("id")).as("id"),
+        col("comm_frm").as("frm"),
+        col("comm_to").as("to"),
+        lit("").as("description"),
+        col("metadata"))
+
+    // --- document node (level 2) -------------------------------------------
+    val commChildren = communityNodes
+      .groupBy(col("doc_id")).agg(array_sort(collect_list(col("id"))).as("child_ids"))
+    val docNodes = docSummaries
+      .join(commChildren, Seq("doc_id"), "left")
+      .select(
+        docNodeIdUdf(col("doc_id")).as("id"),
+        col("doc_id").as("name"),
+        col("summary").as("description"),
+        lit(2).as("level"),
+        lit(false).as("is_visual"),
+        lit("").as("community_id"),
+        coalesce(col("child_ids"), array().cast("array<string>")).as("child_ids"),
+        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"))).as("metadata"),
+        col("doc_id"))
+
+    // --- keyword properties on the doc node --------------------------------
+    val docProperties = docKeywords
+      .select(col("doc_id"), explode(col("keywords")).as("description"))
+      .select(
+        propIdUdf(docNodeIdUdf(col("doc_id")), col("description")).as("id"),
+        docNodeIdUdf(col("doc_id")).as("node_id"),
+        col("description"),
+        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"))).as("metadata"))
+
+    CommunityLayer(
+      nodesWithCommunity,
+      communityNodes.drop("doc_id"),
+      communityEdges,
+      communityProperties,
+      docNodes.drop("doc_id"),
+      docProperties)
+  }
+}

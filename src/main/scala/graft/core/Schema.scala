@@ -1,0 +1,104 @@
+package graft.core
+
+/** Core row types of the KG-construction engine.
+  *
+  * Mirrors the reference's data model (see /root/repo/SURVEY.md §1):
+  *   - Span/DocRow: the canonical input table from BASELINE.json input_hint
+  *     (reference readers produce the same information:
+  *     eschergraph/builder/reader/reader.py:240-265,
+  *     eschergraph/builder/reader/multi_modal/data_structure.py:63-72).
+  *   - Chunk: eschergraph/builder/models.py:17-24.
+  *   - ExtractionLog + DTOs: eschergraph/builder/build_log.py:11-49.
+  *   - NodeRow/EdgeRow/PropertyRow/DocumentRow: persisted models at
+  *     eschergraph/persistence/adapters/simple_repository/models.py:8-43 and
+  *     eschergraph/persistence/document.py:10-29.
+  *
+  * All IDs are deterministic (UUIDv5-style name UUIDs) so that re-running a
+  * stage from checkpoint reproduces byte-identical tables (resumability).
+  */
+object Kinds {
+  val Text = "text"
+  val SectionHeader = "section_header"
+  val Table = "table"
+  val Figure = "figure"
+}
+
+/** One element of an interleaved document. `media_ref` is empty for text. */
+case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** Input row: (doc_id, spans) per BASELINE.json input_hint. */
+case class DocRow(doc_id: String, spans: Seq[Span])
+
+/** Chunker output (reference Chunk: builder/models.py:17-24). */
+case class Chunk(doc_id: String, chunk_id: Int, text: String, token_num: Int)
+
+/** Extraction DTOs (reference build_log.py:11-37). EdgeExt IS the
+  * (subj, pred, obj) triple: subj=source, pred=relationship, obj=target. */
+case class NodeExt(name: String, description: String)
+case class EdgeExt(source: String, target: String, relationship: String)
+case class PropertyExt(entity_name: String, properties: Seq[String])
+
+/** Central intermediate record — one per chunk / visual element
+  * (reference BuildLog: builder/build_log.py:40-49). */
+case class ExtractionLog(
+    doc_id: String,
+    chunk_id: Int,
+    is_visual: Boolean,
+    nodes: Seq[NodeExt],
+    edges: Seq[EdgeExt],
+    properties: Seq[PropertyExt],
+    main_visual_entity: String)
+
+/** The parity surface: directional triples as extracted
+  * (reference EdgeExt semantics, build_log.py:18-23). */
+case class Triple(subj: String, pred: String, obj: String, doc_id: String, chunk_id: Int)
+
+/** Provenance struct (reference Metadata: persistence/metadata.py:25-41). */
+case class Meta(document_id: String, chunk_id: Int)
+
+/** Graph tables. Level semantics: 0 extracted, 1 community, 2 document
+  * (reference graph/node.py:35-37, builder/build_pipeline.py:88-94,149-154). */
+case class NodeRow(
+    id: String,
+    name: String,
+    description: String,
+    level: Int,
+    is_visual: Boolean,
+    community_id: String,
+    child_ids: Seq[String],
+    metadata: Seq[Meta])
+
+case class EdgeRow(id: String, frm: String, to: String, description: String, metadata: Seq[Meta])
+
+case class PropertyRow(id: String, node_id: String, description: String, metadata: Seq[Meta])
+
+case class DocumentRow(id: String, name: String, chunk_num: Int, token_num: Int, tags: Map[String, String])
+
+/** Search-index row (reference VectorSearchResult context:
+  * persistence/vector_db/vector_search_result.py:8-15 + sync metadata
+  * tools/prepare_sync_data.py:13-77). */
+case class IndexRow(
+    id: String,
+    text: String,
+    `type`: String, // node | edge | property
+    level: Int,
+    document_id: String,
+    embedding: Array[Float])
+
+object Ids {
+  import java.util.UUID
+  import java.nio.charset.StandardCharsets
+
+  /** Deterministic id: same logical object → same id across runs. */
+  def of(parts: String*): String =
+    UUID.nameUUIDFromBytes(parts.mkString("").getBytes(StandardCharsets.UTF_8)).toString
+
+  def nodeId(docId: String, nameNorm: String, level: Int): String =
+    of("node", docId, nameNorm, level.toString)
+  def edgeId(frm: String, to: String, description: String): String =
+    of("edge", frm, to, description)
+  def propertyId(nodeId: String, description: String): String =
+    of("prop", nodeId, description)
+  def communityId(docScope: String, memberMin: String, level: Int): String =
+    of("comm", docScope, memberMin, level.toString)
+}

@@ -1,0 +1,73 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Catalog-shaped table layer (SURVEY.md §7.1). The target deployment is
+  * Iceberg (`spark.read.table` / `writeTo(...).createOrReplace`); this
+  * sandbox ships no Iceberg runtime jar, so [[ParquetTableIO]] provides the
+  * identical contract over parquet paths. Engine code only ever sees the
+  * trait, so swapping the connector is a one-line session change.
+  */
+trait TableIO extends Serializable {
+  def read(spark: SparkSession, table: String): DataFrame
+  def write(df: DataFrame, table: String): Unit
+  def append(df: DataFrame, table: String): Unit
+  def exists(spark: SparkSession, table: String): Boolean
+}
+
+class ParquetTableIO(base: String) extends TableIO {
+  private def path(table: String) = s"$base/$table"
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+  override def write(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(table))
+  override def append(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(table))
+  override def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
+/** When an Iceberg catalog is on the session, the same contract routes
+  * through the catalog (table names like `db.nodes`). */
+class CatalogTableIO(db: String) extends TableIO {
+  private def name(table: String) = s"$db.$table"
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.table(name(table))
+  override def write(df: DataFrame, table: String): Unit =
+    df.writeTo(name(table)).createOrReplace()
+  override def append(df: DataFrame, table: String): Unit =
+    df.writeTo(name(table)).append()
+  override def exists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(name(table))
+}
+
+/** Per-stage checkpoint + lineage/metrics (replaces the reference's mutable
+  * ChangeLog, eschergraph/persistence/change_log.py:12-31, with append-only
+  * run metadata — the resumability story of BASELINE.json north_rule).
+  *
+  * `stage(name)(compute)`: if the stage output table exists, read it (the
+  * resume path — lineage notes a cache hit); otherwise compute, write,
+  * append a lineage row (run_id, stage, rows, wall_ms, resumed) and read
+  * back, so downstream stages always consume the persisted artifact and a
+  * killed build restarts exactly after its last completed stage.
+  */
+class Checkpoints(spark: SparkSession, io: TableIO, runId: String) {
+  import spark.implicits._
+
+  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    val t0 = System.nanoTime()
+    val resumed = io.exists(spark, name)
+    if (!resumed) {
+      io.write(compute, name)
+    }
+    val out = io.read(spark, name)
+    val rows = out.count()
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val lineage = Seq((runId, name, rows, wallMs, resumed))
+      .toDF("run_id", "stage", "rows_out", "wall_ms", "resumed")
+    io.append(lineage, "_lineage")
+    out
+  }
+}

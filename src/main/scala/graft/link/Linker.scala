@@ -1,0 +1,132 @@
+package graft.link
+
+import graft.core._
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Entity linking + canonicalization (reference
+  * eschergraph/tools/fuzzy_matcher.py + tools/node_matcher.py).
+  *
+  * The reference brute-forces all-pairs token_set_ratio over a document's
+  * unique entity names (O(n²), fuzzy_matcher.py:27-45) then DFS-clusters
+  * matches (:79-131), resolves each cluster with an LLM (L7) and assigns
+  * ambiguous mentions with a reranker (L11). Here:
+  *
+  *   1. blocking join — names exploded by normalized token, self-joined on
+  *      (doc_id, token); a token_set_ratio >= 95 match requires a shared
+  *      token, so blocking loses nothing while killing the O(n²);
+  *   2. connected components over the match graph (union-find as iterative
+  *      DataFrame joins — [[ConnectedComponents]]);
+  *   3. deterministic cluster resolution mirroring the reference prompt's
+  *      rules (identifying_nodes.jinja): canonical entities are the
+  *      cluster's maximal names (token set not strictly contained in
+  *      another member's); non-maximal mentions go to the unique canonical
+  *      when the cluster is unambiguous, else to the candidate with the
+  *      best deterministic rerank score vs the mention's gathered
+  *      descriptions (L11 analog, node_matcher.py:81-102).
+  *
+  * All keys carry doc_id (the reference links per document — its name index
+  * is dict[doc_id][name], simple_repository.py:73), so shuffles partition
+  * by (doc_id, *) and hot global entity names cause no skew here.
+  */
+object Linker {
+
+  val MatchThreshold = 95
+
+  val tokenSetRatioUdf = udf((a: String, b: String) => TextFns.tokenSetRatio(a, b))
+
+  /** Unique normalized names per doc with a deterministic display form and
+    * the gathered descriptions of the mentions (A6: used for ambiguous
+    * assignment). */
+  def uniqueNames(logs: Dataset[ExtractionLog]): DataFrame = {
+    val nodeNames = logs.select(col("doc_id"), explode(col("nodes")).as("n"))
+      .select(col("doc_id"), col("n.name").as("display"), col("n.description").as("description"))
+    val edgeEnds = logs.select(col("doc_id"), explode(col("edges")).as("e"))
+      .select(col("doc_id"), col("e.source").as("display"), col("e.relationship").as("description"))
+      .union(logs.select(col("doc_id"), explode(col("edges")).as("e"))
+        .select(col("doc_id"), col("e.target").as("display"), col("e.relationship").as("description")))
+    val propOwners = logs.select(col("doc_id"), explode(col("properties")).as("p"))
+      .select(col("doc_id"), col("p.entity_name").as("display"),
+        array_join(col("p.properties"), " ").as("description"))
+    nodeNames.union(edgeEnds).union(propOwners)
+      .withColumn("name_norm", lower(trim(col("display"))))
+      .filter(col("name_norm") =!= "")
+      .groupBy(col("doc_id"), col("name_norm"))
+      .agg(
+        min(col("display")).as("display"),
+        array_join(array_sort(collect_set(col("description"))), " ").as("descs"))
+  }
+
+  /** Candidate pairs via token blocking, scored with token_set_ratio. */
+  def matchedPairs(names: DataFrame): DataFrame = {
+    val toks = names
+      .select(col("doc_id"), col("name_norm"),
+        explode(split(regexp_replace(col("name_norm"), "[^a-z0-9]+", " "), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val a = toks.select(col("doc_id"), col("tok"), col("name_norm").as("a"))
+    val b = toks.select(col("doc_id").as("doc_id2"), col("tok").as("tok2"), col("name_norm").as("b"))
+    a.join(b, col("doc_id") === col("doc_id2") && col("tok") === col("tok2") && col("a") < col("b"))
+      .select(col("doc_id"), col("a"), col("b"))
+      .distinct()
+      .filter(tokenSetRatioUdf(col("a"), col("b")) >= MatchThreshold)
+  }
+
+  /** name → canonical mapping per doc:
+    * (doc_id, name_norm, canonical_norm, canonical). */
+  def canonicalMapping(logs: Dataset[ExtractionLog]): DataFrame = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+
+    val names = uniqueNames(logs).localCheckpoint(true)
+    val pairs = matchedPairs(names)
+    val comps = ConnectedComponents.run(
+      names.select(col("doc_id").as("key"), col("name_norm").as("v")),
+      pairs.select(col("doc_id").as("key"), col("a"), col("b")))
+
+    val members = comps
+      .join(names, comps("key") === names("doc_id") && comps("v") === names("name_norm"))
+      .select(col("doc_id"), col("component"), col("name_norm"), col("display"), col("descs"))
+
+    members.as[(String, String, String, String, String)]
+      .groupByKey { case (doc, comp, _, _, _) => (doc, comp) }
+      .flatMapGroups { (key: (String, String), rows: Iterator[(String, String, String, String, String)]) =>
+        val doc = key._1
+        val ms = rows.map { case (_, _, norm, display, descs) => (norm, display, descs) }.toVector
+        resolveCluster(ms).map { case (norm, canonNorm, canonDisplay) =>
+          (doc, norm, canonNorm, canonDisplay)
+        }
+      }
+      .toDF("doc_id", "name_norm", "canonical_norm", "canonical")
+  }
+
+  /** Deterministic L7/L11 cluster resolution. Input members:
+    * (name_norm, display, descs); output (name_norm, canonical_norm,
+    * canonical_display). */
+  def resolveCluster(members: Vector[(String, String, String)]): Vector[(String, String, String)] = {
+    val tokSets: Map[String, Set[String]] =
+      members.map { case (n, _, _) => n -> TextFns.normTokens(n).toSet }.toMap
+    val display: Map[String, String] = members.map { case (n, d, _) => n -> d }.toMap
+    val descs: Map[String, String] = members.map { case (n, _, s) => n -> s }.toMap
+    // maximal = token set not a strict subset of another member's
+    val maximal = members.map(_._1).filter { n =>
+      val t = tokSets(n)
+      !members.exists { case (m, _, _) => m != n && t.subsetOf(tokSets(m)) && t != tokSets(m) }
+    }.sorted
+    members.map { case (n, _, _) =>
+      val canon =
+        if (maximal.contains(n)) n
+        else if (maximal.size == 1) maximal.head
+        else {
+          // candidates: maximal names containing this mention's tokens;
+          // fall back to all maximal names when fuzzy-linked non-subsets
+          val subsetOfs = maximal.filter(m => tokSets(n).subsetOf(tokSets(m)))
+          val cands = if (subsetOfs.nonEmpty) subsetOfs else maximal
+          if (cands.size == 1) cands.head
+          else cands.maxBy(c => (TextFns.rerankScore(descs(n), descs(c) + " " + c), c))
+        }
+      (n, canon, display(canon))
+    }
+  }
+}

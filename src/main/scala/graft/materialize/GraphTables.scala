@@ -1,0 +1,176 @@
+package graft.materialize
+
+import graft.core._
+import graft.extract.Extract
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Persist-to-graph (reference eschergraph/builder/build_pipeline.py:249-308):
+  * canonicalized extraction logs → nodes / edges / properties tables and the
+  * (subj, pred, obj) triple parity surface.
+  *
+  * Semantics preserved from the reference:
+  *   - node dedup by (document_id, lower(name)) with first-writer-wins
+  *     description (graph/node.py:90-105; deterministic "first" = min
+  *     chunk_id, then min description);
+  *   - edges whose endpoint failed to resolve are dropped but counted
+  *     (build_pipeline.py:283-284);
+  *   - self-loop edges become properties on the node
+  *     (build_pipeline.py:286-291);
+  *   - undirected edge equality {frm,to}+description for dedup
+  *     (graph/edge.py:87-104) — triples stay directional as extracted
+  *     (build_log.py:18-23);
+  *   - is_visual set when the node is the main entity of a visual log
+  *     (build_pipeline.py:253-271).
+  *
+  * Everything is plain DataFrame ops: the joins key on (doc_id, name_norm)
+  * so Catalyst plans hash joins partitioned per document — a globally hot
+  * entity name never concentrates on one partition. AQE handles residual
+  * skew from giant single documents.
+  */
+object GraphTables {
+
+  case class Materialized(
+      nodes: Dataset[NodeRow],
+      edges: Dataset[EdgeRow],
+      properties: Dataset[PropertyRow],
+      triples: DataFrame, // (doc_id, subj, pred, obj) distinct, canonical
+      droppedEdges: DataFrame) // (doc_id, chunk_id, source, target, relationship)
+
+  private val nodeIdUdf = udf((doc: String, nameNorm: String) => Ids.nodeId(doc, nameNorm, 0))
+  private val edgeIdUdf = udf((a: String, b: String, d: String) => Ids.edgeId(a, b, d))
+  private val propIdUdf = udf((n: String, d: String) => Ids.propertyId(n, d))
+
+  def build(logs: Dataset[ExtractionLog], mapping: DataFrame): Materialized = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+
+    val map = mapping.select(
+      col("doc_id").as("m_doc"), col("name_norm").as("m_name"),
+      col("canonical_norm"), col("canonical"))
+
+    // ---- node mentions → nodes ---------------------------------------
+    val mentions = logs
+      .select(col("doc_id"), col("chunk_id"), col("is_visual"),
+        lower(trim(col("main_visual_entity"))).as("mv"), explode(col("nodes")).as("n"))
+      .select(col("doc_id"), col("chunk_id"),
+        lower(trim(col("n.name"))).as("name_norm"),
+        col("n.description").as("description"),
+        (col("is_visual") && col("mv") === lower(trim(col("n.name")))).as("viz"))
+    val mentionsCanon = mentions
+      .join(map, mentions("doc_id") === col("m_doc") && mentions("name_norm") === col("m_name"), "left")
+      .select(col("doc_id"), col("chunk_id"),
+        coalesce(col("canonical_norm"), col("name_norm")).as("canonical_norm"),
+        coalesce(col("canonical"), col("name_norm")).as("canonical"),
+        col("description"), col("viz"))
+
+    val nodes = mentionsCanon
+      .groupBy(col("doc_id"), col("canonical_norm"))
+      .agg(
+        min(col("canonical")).as("name"),
+        min(struct(col("chunk_id"), col("description"))).as("first_desc"),
+        max(col("viz")).as("is_visual"),
+        array_sort(collect_set(struct(col("doc_id").as("document_id"), col("chunk_id")))).as("metadata"))
+      .select(
+        nodeIdUdf(col("doc_id"), col("canonical_norm")).as("id"),
+        col("name"),
+        col("first_desc.description").as("description"),
+        lit(0).as("level"),
+        col("is_visual"),
+        lit("").as("community_id"),
+        array().cast("array<string>").as("child_ids"),
+        col("metadata"),
+        col("doc_id"), col("canonical_norm"))
+
+    val nodeKeys = nodes.select(col("doc_id").as("nk_doc"), col("canonical_norm").as("nk_name"),
+      col("id").as("node_id"), col("name").as("node_name"))
+
+    // ---- edge mentions: resolve endpoints, split self-loops ----------
+    val edgeMentions = logs
+      .select(col("doc_id"), col("chunk_id"), explode(col("edges")).as("e"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("e.source").as("source"), col("e.target").as("target"),
+        col("e.relationship").as("relationship"),
+        lower(trim(col("e.source"))).as("src_norm"), lower(trim(col("e.target"))).as("dst_norm"))
+
+    val srcMap = map.select(col("m_doc").as("s_doc"), col("m_name").as("s_name"),
+      col("canonical_norm").as("src_canon_norm"), col("canonical").as("src_canon"))
+    val dstMap = map.select(col("m_doc").as("d_doc"), col("m_name").as("d_name"),
+      col("canonical_norm").as("dst_canon_norm"), col("canonical").as("dst_canon"))
+
+    val resolved = edgeMentions
+      .join(srcMap, col("doc_id") === col("s_doc") && col("src_norm") === col("s_name"), "left")
+      .join(dstMap, col("doc_id") === col("d_doc") && col("dst_norm") === col("d_name"), "left")
+
+    val droppedEdges = resolved
+      .filter(col("src_canon_norm").isNull || col("dst_canon_norm").isNull)
+      .select(col("doc_id"), col("chunk_id"), col("source"), col("target"), col("relationship"))
+
+    val ok = resolved.filter(col("src_canon_norm").isNotNull && col("dst_canon_norm").isNotNull)
+
+    // self-loops → properties (reference build_pipeline.py:286-291)
+    val selfLoops = ok.filter(col("src_canon_norm") === col("dst_canon_norm"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("src_canon_norm").as("owner_norm"), col("relationship").as("prop_desc"))
+
+    val realEdges = ok.filter(col("src_canon_norm") =!= col("dst_canon_norm"))
+
+    // triples: directional, canonical, distinct — the parity surface
+    val triples = realEdges
+      .select(col("doc_id"), col("src_canon").as("subj"),
+        col("relationship").as("pred"), col("dst_canon").as("obj"))
+      .distinct()
+
+    // edges table: resolve to node ids, dedup on undirected {frm,to}+desc
+    val srcNodes = nodeKeys.select(col("nk_doc").as("sn_doc"), col("nk_name").as("sn_name"), col("node_id").as("frm_id"))
+    val dstNodes = nodeKeys.select(col("nk_doc").as("dn_doc"), col("nk_name").as("dn_name"), col("node_id").as("to_id"))
+    val withIds = realEdges
+      .join(srcNodes, col("doc_id") === col("sn_doc") && col("src_canon_norm") === col("sn_name"))
+      .join(dstNodes, col("doc_id") === col("dn_doc") && col("dst_canon_norm") === col("dn_name"))
+
+    val edges = withIds
+      .withColumn("lo", least(col("frm_id"), col("to_id")))
+      .withColumn("hi", greatest(col("frm_id"), col("to_id")))
+      .groupBy(col("doc_id"), col("lo"), col("hi"), col("relationship"))
+      .agg(
+        min(struct(col("chunk_id"), col("frm_id"), col("to_id"))).as("first_dir"),
+        array_sort(collect_set(struct(col("doc_id").as("document_id"), col("chunk_id")))).as("metadata"))
+      .select(
+        edgeIdUdf(col("lo"), col("hi"), col("relationship")).as("id"),
+        col("first_dir.frm_id").as("frm"),
+        col("first_dir.to_id").as("to"),
+        col("relationship").as("description"),
+        col("metadata"))
+
+    // ---- properties: extracted + self-loop conversions ----------------
+    val propMentions = logs
+      .select(col("doc_id"), col("chunk_id"), explode(col("properties")).as("p"))
+      .select(col("doc_id"), col("chunk_id"),
+        lower(trim(col("p.entity_name"))).as("owner_raw"),
+        explode(col("p.properties")).as("prop_desc"))
+    val ownerMap = map.select(col("m_doc").as("o_doc"), col("m_name").as("o_name"),
+      col("canonical_norm").as("owner_norm"))
+    val propsCanon = propMentions
+      .join(ownerMap, col("doc_id") === col("o_doc") && col("owner_raw") === col("o_name"), "inner")
+      .select(col("doc_id"), col("chunk_id"), col("owner_norm"), col("prop_desc"))
+      .union(selfLoops)
+
+    val ownerNodes = nodeKeys.select(col("nk_doc").as("on_doc"), col("nk_name").as("on_name"), col("node_id"))
+    val properties = propsCanon
+      .join(ownerNodes, col("doc_id") === col("on_doc") && col("owner_norm") === col("on_name"))
+      .groupBy(col("node_id"), col("prop_desc"))
+      .agg(array_sort(collect_set(struct(col("doc_id").as("document_id"), col("chunk_id")))).as("metadata"))
+      .select(
+        propIdUdf(col("node_id"), col("prop_desc")).as("id"),
+        col("node_id"),
+        col("prop_desc").as("description"),
+        col("metadata"))
+
+    Materialized(
+      nodes.drop("doc_id", "canonical_norm").as[NodeRow],
+      edges.as[EdgeRow],
+      properties.as[PropertyRow],
+      triples,
+      droppedEdges)
+  }
+}

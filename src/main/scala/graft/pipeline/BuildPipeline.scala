@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.build.Chunker
+import graft.community.Communities
+import graft.core._
+import graft.extract.{BoundedExec, Extract, SpanExtractor}
+import graft.index.SearchIndex
+import graft.io.Checkpoints
+import graft.link.Linker
+import graft.materialize.GraphTables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG build (the Spark equivalent of
+  * eschergraph/graph/graph.py:237-273 + builder/build_pipeline.py:55-100):
+  *
+  *   read docs → Chunker (A1/A2/F1) → Extract L3 → Properties L4 → Visual
+  *   L5/L6 → Linking (blocking J4 + union-find J5 + resolve L7/L11) →
+  *   Materialize (J3/J1/J2, G1) → Communities (G2/G3) → Document node (G4)
+  *   → search_index (G5) + documents registry.
+  *
+  * Every stage is Catalyst-planned Dataset/DataFrame work; the only typed
+  * folds are the order-dependent chunk packing (groupByKey.flatMapGroups)
+  * and the bounded-concurrency extraction clients (mapPartitions). When a
+  * [[Checkpoints]] is supplied, each stage output persists to the work dir
+  * and a killed build resumes after its last completed stage with
+  * byte-identical results (all ids are deterministic).
+  */
+object BuildPipeline {
+
+  case class BuildResult(
+      chunks: DataFrame,
+      logs: DataFrame,
+      mapping: DataFrame,
+      nodes: DataFrame, // all levels, community_id filled
+      edges: DataFrame, // level-0 + community edges
+      properties: DataFrame, // extracted + findings + keywords
+      triples: DataFrame, // parity surface (doc_id, subj, pred, obj)
+      documents: DataFrame,
+      searchIndex: DataFrame,
+      droppedEdges: DataFrame)
+
+  def run(docs: Dataset[DocRow], extractor: SpanExtractor,
+          checkpoints: Option[Checkpoints] = None): BuildResult = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def stage(name: String)(compute: => DataFrame): DataFrame =
+      checkpoints match {
+        case Some(cp) => cp.stage(name)(compute)
+        case None => compute
+      }
+
+    // --- chunking ---------------------------------------------------------
+    val chunks = stage("chunks")(Chunker.chunks(docs).toDF())
+    val chunksT = chunks.as[Chunk]
+
+    // --- per-doc keywords + summary (L1/L2) --------------------------------
+    val docMeta = stage("doc_meta") {
+      Chunker.fullTexts(docs).mapPartitions { it =>
+        BoundedExec.mapBounded(it, extractor.maxConcurrency) { case (docId, txt) =>
+          (docId, extractor.keywords(txt), extractor.summary(txt),
+            graft.functions.TextFns.estimateTokens(txt))
+        }
+      }.toDF("doc_id", "keywords", "summary", "token_num")
+    }
+
+    // --- extraction (L3..L6) ------------------------------------------------
+    val logs = stage("logs") {
+      val raw = Extract.rawLogs(chunksT, Chunker.visualSpans(docs), extractor)
+      Extract.withProperties(raw, extractor).toDF()
+    }
+    val logsT = logs.as[ExtractionLog]
+
+    // --- linking + canonicalization (J4/J5/L7/L11) --------------------------
+    val mapping = stage("mapping")(Linker.canonicalMapping(logsT))
+
+    // --- materialize level-0 graph (G1) -------------------------------------
+    val mat = GraphTables.build(logsT, mapping)
+    val nodes0 = stage("nodes0")(mat.nodes.toDF())
+    val edges0 = stage("edges0")(mat.edges.toDF())
+    val props0 = stage("properties0")(mat.properties.toDF())
+    val triples = stage("triples")(mat.triples)
+    val dropped = stage("dropped_edges")(mat.droppedEdges)
+
+    // --- community + document layers (G2/G3/G4) -----------------------------
+    val layer = Communities.build(
+      nodes0.as[NodeRow], edges0.as[EdgeRow], props0.as[PropertyRow],
+      docMeta.select(col("doc_id"), col("keywords")),
+      docMeta.select(col("doc_id"), col("summary")))
+
+    val nodes = stage("nodes") {
+      layer.nodesWithCommunity.unionByName(layer.communityNodes).unionByName(layer.docNodes)
+    }
+    val edges = stage("edges")(edges0.unionByName(layer.communityEdges))
+    val properties = stage("properties") {
+      props0.unionByName(layer.communityProperties).unionByName(layer.docProperties)
+    }
+
+    // --- documents registry (S6) ---------------------------------------------
+    val documents = stage("documents") {
+      val chunkStats = chunks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("chunk_num"), sum(col("token_num")).as("token_num"))
+      docMeta.select(col("doc_id")).join(chunkStats, Seq("doc_id"), "left")
+        .select(
+          udf((d: String) => Ids.of("doc", d)).apply(col("doc_id")).as("id"),
+          col("doc_id").as("name"),
+          coalesce(col("chunk_num"), lit(0L)).cast("int").as("chunk_num"),
+          coalesce(col("token_num"), lit(0L)).cast("int").as("token_num"),
+          map().cast("map<string,string>").as("tags"))
+    }
+
+    // --- search index (G5) ----------------------------------------------------
+    val searchIndex = stage("search_index")(SearchIndex.build(nodes, edges, properties))
+
+    BuildResult(chunks, logs, mapping, nodes, edges, properties, triples,
+      documents, searchIndex, dropped)
+  }
+
+  /** Parity metric: precision / recall of distinct (doc_id, subj, pred, obj)
+    * vs an expected triple set (BASELINE.json: P/R >= 0.95). */
+  def parity(got: DataFrame, expected: DataFrame): (Double, Double) = {
+    val g = got.select("doc_id", "subj", "pred", "obj").distinct().cache()
+    val e = expected.select("doc_id", "subj", "pred", "obj").distinct().cache()
+    val inter = g.intersect(e).count().toDouble
+    val gc = g.count().toDouble
+    val ec = e.count().toDouble
+    (if (gc == 0) 0.0 else inter / gc, if (ec == 0) 0.0 else inter / ec)
+  }
+}
