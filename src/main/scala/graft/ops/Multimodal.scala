@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata structs, exactly as a 100 TB
+  * training-data pipeline would carry them next to text. The *decode* step
+  * (an image/audio codec) is STUBBED with a deterministic fake — the codec
+  * libraries are not in this container — but the Spark-side contract is
+  * real and tested: schema, per-batch processing shape (mapPartitions over
+  * a typed Dataset, the Scala analog of Python's mapInPandas batching),
+  * partition sizing, and the feature-extraction output schema.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: String, kind: String, payload: Array[Byte],
+                      width: Int, height: Int, format: String)
+  case class MediaFeatures(media_id: String, kind: String, n_bytes: Int,
+                           width: Int, height: Int, checksum: Long,
+                           features: Array[Float])
+
+  /** Manufacture deterministic binary payloads from a media_ref column —
+    * the stand-in for reading real blobs from object storage. */
+  def payloadFromRef(df: DataFrame, refCol: String): DataFrame = {
+    val gen = udf((ref: String) => {
+      // deterministic pseudo-bytes: FNV stream seeded by the ref
+      var h = graft.functions.TextFns.fnv1a64(ref)
+      val n = 64 + (math.abs(h) % 192).toInt
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) { h = h * 6364136223846793005L + 1442695040888963407L; out(i) = (h >>> 56).toByte; i += 1 }
+      out
+    })
+    df.withColumn("payload", gen(col(refCol)))
+      .withColumn("kind", when(col(refCol).contains("fig"), "image").otherwise("table_render"))
+      .withColumn("width", (abs(hash(col(refCol))) % 1920 + 64).cast("int"))
+      .withColumn("height", (abs(hash(col(refCol)) / 7) % 1080 + 64).cast("int"))
+      .withColumn("format", lit("png"))
+  }
+
+  /** STUB decode/feature-extract: in production this calls the codec; here
+    * it derives a deterministic 8-dim feature vector from the payload so
+    * the batching, schema, and downstream joins are fully exercised.
+    * Runs as mapPartitions over the typed Dataset — one JVM-side batch per
+    * partition, the same execution shape a vectorized (Arrow) UDF has. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        // ??? <- real codec call goes here (image decode / resample);
+        // deterministic fake features keep the contract testable offline.
+        var cs = 0xcbf29ce484222325L
+        var i = 0
+        while (i < m.payload.length) { cs ^= m.payload(i); cs *= 0x100000001b3L; i += 1 }
+        val f = new Array[Float](8)
+        var b = 0
+        while (b < 8) { f(b) = ((cs >>> (b * 8)) & 0xff).toFloat / 255f; b += 1 }
+        MediaFeatures(m.media_id, m.kind, m.payload.length, m.width, m.height, cs, f)
+      }
+    }
+  }
+}

@@ -45,10 +45,15 @@ object BuildPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // Without a work dir, stages are still materialized once via eager
+    // localCheckpoint: every stage below is consumed by >= 2 downstream
+    // consumers, so recomputing lineage per action would redo extraction
+    // several times (the reference materializes its BuildLog list for the
+    // same reason).
     def stage(name: String)(compute: => DataFrame): DataFrame =
       checkpoints match {
         case Some(cp) => cp.stage(name)(compute)
-        case None => compute
+        case None => compute.localCheckpoint(true)
       }
 
     // --- chunking ---------------------------------------------------------
