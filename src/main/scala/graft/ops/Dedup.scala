@@ -107,40 +107,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs via random-hyperplane LSH buckets
-    * (deterministic planes from a fixed seed), exact cosine verification
-    * inside buckets. `bits` controls bucket granularity; pairs with cosine
-    * >= threshold almost surely share a code at small Hamming radius, so we
-    * also probe codes at distance 1. */
+  /** Embedding-cosine near-dup pairs via multi-table random-hyperplane LSH
+    * (deterministic planes from a fixed seed): each vector lands in one
+    * cell per table; one side additionally probes Hamming-1 cells; exact
+    * cosine verification restricted to co-bucketed candidates. Recall for
+    * cosine >= threshold compounds across tables. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double = 0.95, bits: Int = 8,
-                           dim: Int = 64, seed: Long = 7L): DataFrame = {
-    val planes: Array[Array[Double]] = {
-      val rng = new scala.util.Random(seed)
-      Array.fill(bits, dim)(rng.nextGaussian())
-    }
-    val codeUdf = udf((v: Seq[Float]) => {
-      var code = 0
-      var b = 0
-      while (b < bits) {
-        var dot = 0.0
-        var i = 0
-        val n = math.min(dim, v.length)
-        while (i < n) { dot += planes(b)(i) * v(i); i += 1 }
-        if (dot > 0) code |= (1 << b)
-        b += 1
-      }
-      code
-    })
-    // multi-probe: emit own code + all codes at Hamming distance 1
-    val probeUdf = udf((c: Int) => (Seq(c) ++ (0 until bits).map(b => c ^ (1 << b))).toArray)
+                           threshold: Double = 0.95, tables: Int = 4,
+                           bits: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val codes = Similarity.codesUdf(tables, bits, dim, seed)
     val coded = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("code", codeUdf(col("v")))
-    val probed = coded.withColumn("probe", explode(probeUdf(col("code"))))
-    val l = coded.select(col("code").as("bkt"), col("id").as("ida"), col("v").as("va"))
-    val r = probed.select(col("probe").as("bkt2"), col("id").as("idb"), col("v").as("vb"))
+      .withColumn("codes", codes(col("v")))
+    val l = coded.select(col("id").as("ida"), col("v").as("va"),
+      explode(Similarity.cellsUdf(tables)(col("codes"))).as("cell"))
+    val r = coded.select(col("id").as("idb"), col("v").as("vb"),
+      explode(Similarity.probesUdf(tables, bits)(col("codes"))).as("cell"))
     val cos = udf((a: Seq[Float], b: Seq[Float]) => TextFns.cosine(a.toArray, b.toArray))
-    l.join(r, col("bkt") === col("bkt2") && col("ida") < col("idb"))
+    l.join(r, l("cell") === r("cell") && col("ida") < col("idb"))
       .select("ida", "idb", "va", "vb").distinct()
       .withColumn("cosine", round(cos(col("va"), col("vb")), 4))
       .filter(col("cosine") >= threshold)

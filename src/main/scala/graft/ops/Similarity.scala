@@ -36,34 +36,59 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
-  /** LSH-bucketed ANN top-k: candidates from the query's code bucket plus
-    * all Hamming-distance-1 buckets, exact cosine + top-k among them. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              bits: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame = {
-    val planes: Array[Array[Double]] = {
+  /** Multi-table random-hyperplane codes: for each of `tables` independent
+    * plane sets, emit (table, code). Recall compounds across tables:
+    * a neighbor missed by one table's bucket is caught by another. */
+  private[ops] def codesUdf(tables: Int, bits: Int, dim: Int, seed: Long) = {
+    val planes: Array[Array[Array[Double]]] = {
       val rng = new scala.util.Random(seed)
-      Array.fill(bits, dim)(rng.nextGaussian())
+      Array.fill(tables, bits, dim)(rng.nextGaussian())
     }
-    val codeUdf = udf((v: Seq[Float]) => {
-      var code = 0
-      var b = 0
-      while (b < bits) {
-        var dot = 0.0
-        var i = 0
-        val n = math.min(dim, v.length)
-        while (i < n) { dot += planes(b)(i) * v(i); i += 1 }
-        if (dot > 0) code |= (1 << b)
-        b += 1
+    udf((v: Seq[Float]) => {
+      val out = new Array[Int](tables)
+      var t = 0
+      while (t < tables) {
+        var code = 0
+        var b = 0
+        while (b < bits) {
+          var dot = 0.0
+          var i = 0
+          val n = math.min(dim, v.length)
+          while (i < n) { dot += planes(t)(b)(i) * v(i); i += 1 }
+          if (dot > 0) code |= (1 << b)
+          b += 1
+        }
+        out(t) = code
+        t += 1
       }
-      code
+      out
     })
-    val probeUdf = udf((c: Int) => (Seq(c) ++ (0 until bits).map(b => c ^ (1 << b))).toArray)
+  }
+
+  /** All (table, bucket) cells within Hamming distance 1 of each code. */
+  private[ops] def probesUdf(tables: Int, bits: Int) =
+    udf((codes: Seq[Int]) =>
+      codes.zipWithIndex.flatMap { case (c, t) =>
+        (Seq(c) ++ (0 until bits).map(b => c ^ (1 << b))).map(p => t.toLong * 65536L + p)
+      }.toArray)
+
+  private[ops] def cellsUdf(tables: Int) =
+    udf((codes: Seq[Int]) =>
+      codes.zipWithIndex.map { case (c, t) => t.toLong * 65536L + c }.toArray)
+
+  /** LSH-bucketed ANN top-k: `tables` independent 6-bit hyperplane codes,
+    * queries probe their own cell + all Hamming-1 cells per table, exact
+    * cosine + top-k among the candidates only. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              tables: Int = 8, bits: Int = 6, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val codes = codesUdf(tables, bits, dim, seed)
     val c = corpus.select(col("id"), col("vec").as("cv"))
-      .withColumn("bkt", codeUdf(col("cv")))
+      .withColumn("cell", explode(cellsUdf(tables)(codes(col("cv")))))
     val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
-      .withColumn("probe", explode(probeUdf(codeUdf(col("qv")))))
-    val scored = c.join(broadcast(q), col("bkt") === col("probe"))
+      .withColumn("cell", explode(probesUdf(tables, bits)(codes(col("qv")))))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("id") =!= col("qid"))
+      .select("qid", "id", "qv", "cv").distinct()
       .withColumn("cosine", round(cosUdf(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

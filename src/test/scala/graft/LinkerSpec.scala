@@ -1,0 +1,91 @@
+package graft
+
+import graft.core._
+import graft.functions.TextFns
+import graft.link.{ConnectedComponents, Linker}
+import org.apache.spark.sql.functions._
+
+/** Linking semantics: token_set_ratio fixtures, cluster resolution
+  * (reference tests/tools/test_node_matcher.py:20-67 surface forms), and
+  * connected components vs brute-force transitive closure (seeded
+  * property-style sweep). */
+class LinkerSpec extends SparkSpec {
+
+  test("token_set_ratio: subset aliases score 100, distinct names do not match") {
+    assert(TextFns.tokenSetRatio("Lennart", "Lennart Timmermans") === 100)
+    assert(TextFns.tokenSetRatio("Timmermans", "Patrick Timmermans") === 100)
+    assert(TextFns.tokenSetRatio("Dr Elena Vasquez", "elena vasquez") === 100)
+    assert(TextFns.tokenSetRatio("Elena Vasquez", "Elena Park") < 95)
+    assert(TextFns.tokenSetRatio("Vertex Analytics Group", "Solstice Analytics Group") < 95)
+    assert(TextFns.tokenSetRatio("same", "same") === 100)
+  }
+
+  test("cluster resolution: Timmermans fixture (ambiguous mention assigned by context)") {
+    // surface forms from the reference's identifying_nodes prompt example
+    val members = Vector(
+      ("lennart", "Lennart", "lennart works on search infrastructure"),
+      ("lennart timmermans", "Lennart Timmermans", "lennart timmermans works on search infrastructure"),
+      ("patrick timmermans", "Patrick Timmermans", "patrick timmermans leads the finance team"),
+      ("timmermans", "Timmermans", "timmermans works on search infrastructure"))
+    val canon = Linker.resolveCluster(members).map { case (n, c, _) => n -> c }.toMap
+    assert(canon("lennart") === "lennart timmermans")
+    assert(canon("lennart timmermans") === "lennart timmermans")
+    assert(canon("patrick timmermans") === "patrick timmermans")
+    // ambiguous "timmermans": context mentions search infra -> Lennart
+    assert(canon("timmermans") === "lennart timmermans")
+  }
+
+  test("single-maximal cluster maps every alias to it") {
+    val members = Vector(
+      ("dr elena vasquez", "Dr Elena Vasquez", "d1"),
+      ("elena vasquez", "Elena Vasquez", "d2"),
+      ("vasquez", "Vasquez", "d3"))
+    val canon = Linker.resolveCluster(members).map { case (n, c, _) => n -> c }.toMap
+    assert(canon.values.toSet === Set("dr elena vasquez"))
+  }
+
+  test("connected components equal brute-force transitive closure (seeded sweep)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (1 to 10).foreach { _ =>
+      val pairs = List.fill(12)((rng.nextInt(15), rng.nextInt(15)))
+      val vs = (0 to 14).map(i => ("k", f"v$i%02d"))
+      val es = pairs.map { case (a, b) => ("k", f"v$a%02d", f"v$b%02d") }
+      val got = ConnectedComponents.run(
+          vs.toDF("key", "v"), es.toDF("key", "a", "b"))
+        .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+      // brute force union-find
+      val parent = scala.collection.mutable.Map(vs.map(v => v._2 -> v._2).toSeq: _*)
+      def find(x: String): String = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(f"v$a%02d"), find(f"v$b%02d"))
+        if (ra != rb) parent(ra) = rb
+      }
+      val expect = vs.map { case (_, v) =>
+        v -> vs.map(_._2).filter(u => find(u) == find(v)).min
+      }.toMap
+      assert(got === expect, s"pairs=$pairs")
+    }
+  }
+
+  test("blocking join finds exactly the >=95 pairs on a doc's names") {
+    import spark.implicits._
+    val names = Seq(
+      ("d1", "dr elena vasquez"), ("d1", "elena vasquez"), ("d1", "vasquez"),
+      ("d1", "vertex analytics group"), ("d1", "vertex analytics"),
+      ("d2", "elena vasquez"), ("d2", "marco petrov"))
+      .toDF("doc_id", "name_norm")
+      .withColumn("display", col("name_norm"))
+      .withColumn("descs", lit(""))
+    val pairs = Linker.matchedPairs(names)
+      .select("doc_id", "a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(pairs === Set(
+      ("d1", "dr elena vasquez", "elena vasquez"),
+      ("d1", "dr elena vasquez", "vasquez"),
+      ("d1", "elena vasquez", "vasquez"),
+      ("d1", "vertex analytics", "vertex analytics group")))
+    // no cross-doc pairs: linking is per-document (reference name index is per doc)
+    assert(!pairs.exists { case (_, a, b) => a.contains("marco") || b.contains("marco") })
+  }
+}

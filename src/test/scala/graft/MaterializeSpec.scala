@@ -1,0 +1,101 @@
+package graft
+
+import graft.core._
+import graft.link.Linker
+import graft.materialize.GraphTables
+import org.apache.spark.sql.functions._
+
+/** Persist-to-graph semantics (mirrors reference
+  * tests/builder/test_build_pipeline.py:79-145 and the invariants at
+  * build_pipeline.py:249-308). */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // fixture ported from the reference's persist test: two logs, repeated
+  // "node 2", one edge, two properties on "node 1"
+  val logs = Seq(
+    ExtractionLog("d1", 0, is_visual = false,
+      nodes = Seq(NodeExt("node 1", "desc one"), NodeExt("node 2", "desc two")),
+      edges = Seq(EdgeExt("node 1", "node 2", "loves")),
+      properties = Seq(PropertyExt("node 1", Seq("kind", "smart"))),
+      main_visual_entity = ""),
+    ExtractionLog("d1", 1, is_visual = false,
+      nodes = Seq(NodeExt("node 2", "desc two later")),
+      edges = Seq(),
+      properties = Seq(),
+      main_visual_entity = ""))
+
+  lazy val mat = {
+    val ds = spark.createDataset(logs)
+    GraphTables.build(ds, Linker.canonicalMapping(ds))
+  }
+
+  test("node dedup by (doc, lower(name)) with first-writer-wins description") {
+    val nodes = mat.nodes.collect()
+    assert(nodes.length === 2)
+    val n2 = nodes.find(_.name == "node 2").get
+    assert(n2.description === "desc two") // chunk 0 wins over chunk 1
+    assert(n2.metadata.map(_.chunk_id).sorted === Seq(0, 1))
+  }
+
+  test("one edge, two properties, no dropped edges") {
+    assert(mat.edges.count() === 1)
+    assert(mat.properties.count() === 2)
+    assert(mat.droppedEdges.count() === 0)
+    assert(mat.triples.collect().map(r => (r.getString(1), r.getString(2), r.getString(3))).toSet
+      === Set(("node 1", "loves", "node 2")))
+  }
+
+  test("self-loop edges become properties (build_pipeline.py:286-291)") {
+    val selfLogs = Seq(ExtractionLog("d1", 0, is_visual = false,
+      nodes = Seq(NodeExt("acme corp", "a company")),
+      edges = Seq(EdgeExt("acme corp", "Acme Corp", "rebranded itself")),
+      properties = Seq(), main_visual_entity = ""))
+    val ds = spark.createDataset(selfLogs)
+    val m = GraphTables.build(ds, Linker.canonicalMapping(ds))
+    assert(m.edges.count() === 0)
+    assert(m.triples.count() === 0)
+    val props = m.properties.collect()
+    assert(props.length === 1)
+    assert(props.head.description === "rebranded itself")
+  }
+
+  test("edges with an unresolvable endpoint are dropped and counted") {
+    val ds = spark.createDataset(Seq(ExtractionLog("d1", 0, is_visual = false,
+      nodes = Seq(NodeExt("known", "desc")),
+      edges = Seq(EdgeExt("known", "ghost entity", "mentions")),
+      properties = Seq(), main_visual_entity = "")))
+    // mapping that only knows "known"
+    val mapping = Seq(("d1", "known", "known", "known"))
+      .toDF("doc_id", "name_norm", "canonical_norm", "canonical")
+    val m = GraphTables.build(ds, mapping)
+    assert(m.edges.count() === 0)
+    assert(m.droppedEdges.count() === 1)
+  }
+
+  test("undirected edge dedup: {frm,to}+description counted once, metadata merged") {
+    val ds = spark.createDataset(Seq(
+      ExtractionLog("d1", 0, is_visual = false,
+        nodes = Seq(NodeExt("a", "x"), NodeExt("b", "y")),
+        edges = Seq(EdgeExt("a", "b", "knows")), properties = Seq(), main_visual_entity = ""),
+      ExtractionLog("d1", 1, is_visual = false,
+        nodes = Seq(NodeExt("a", "x"), NodeExt("b", "y")),
+        edges = Seq(EdgeExt("b", "a", "knows")), properties = Seq(), main_visual_entity = "")))
+    val m = GraphTables.build(ds, Linker.canonicalMapping(ds))
+    val edges = m.edges.collect()
+    assert(edges.length === 1)
+    assert(edges.head.metadata.length === 2)
+    // triples stay directional
+    assert(m.triples.count() === 2)
+  }
+
+  test("visual main entity marks the node is_visual") {
+    val ds = spark.createDataset(Seq(ExtractionLog("d1", 100001, is_visual = true,
+      nodes = Seq(NodeExt("Figure Hero", "caption"), NodeExt("Other", "caption")),
+      edges = Seq(EdgeExt("Figure Hero", "Other", "is depicted with")),
+      properties = Seq(), main_visual_entity = "Figure Hero")))
+    val m = GraphTables.build(ds, Linker.canonicalMapping(ds))
+    val viz = m.nodes.collect().filter(_.is_visual).map(_.name)
+    assert(viz.toSeq === Seq("Figure Hero"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.TextFns
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data ops: dedup family recall/precision vs exact computation,
+  * ANN recall vs brute force, multimodal plumbing. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
+
+  test("minhash LSH finds all very-high-jaccard pairs found exactly") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, numPerm = 16,
+        bands = 4, threshold = 0.9)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    info(f"minhash-lsh recall at J>=0.9: $recall%.3f (${lsh.size} vs ${exact.size})")
+    assert(recall >= 0.9)
+    // verification step guarantees precision 1.0 vs exact jaccard
+    assert((lsh diff exact).isEmpty)
+  }
+
+  test("simhash pairs include the exact near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.95)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0 else (exact intersect sim).size.toDouble / exact.size
+    info(f"simhash recall at J>=0.95: $recall%.3f")
+    assert(recall >= 0.8)
+  }
+
+  test("lsh ANN top-k recall vs brute force") {
+    val queries = emb.filter(col("id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(emb, queries, 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    info(f"ann recall@5: $recall%.3f")
+    assert(recall >= 0.6) // multi-probe radius 1 on 8-bit codes
+  }
+
+  test("exact dedup keeps exactly one survivor per content hash") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    val groups = d.groupBy("content_hash")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"))
+    assert(groups.filter(col("keepers") =!= 1).count() === 0)
+  }
+
+  test("fingerprint is whitespace-insensitive") {
+    val a = Seq(("1", "Hello   World"), ("2", "hello world")).toDF("id", "text")
+    val fps = TextAnalysis.fingerprint(a, "id", "text").collect().map(_.getString(1))
+    assert(fps(0) === fps(1))
+  }
+
+  test("lang id: script detection and stopword profiles") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and looked to the door of the house"),
+      ("de", "der hund und die katze sind nicht mit dem auto gefahren"),
+      ("es", "el perro y la casa que es de los vecinos en la calle"),
+      ("zh", "这是一个中文文档的示例文本内容"))
+      .toDF("expected", "text")
+    val out = TextAnalysis.langId(df, "expected", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    out.foreach { case (exp, got) => assert(exp === got, s"expected $exp got $got") }
+  }
+
+  test("multimodal: payload plumbing + stubbed feature extraction is deterministic") {
+    val refs = Seq("img://doc-1/fig-0.png", "img://doc-1/table-0.png")
+      .toDF("media_ref").withColumn("media_id", col("media_ref"))
+    val media = Multimodal.payloadFromRef(refs, "media_ref")
+      .select(col("media_id"), col("kind"), col("payload"), col("width"), col("height"), col("format"))
+      .as[Multimodal.MediaRow]
+    val feats1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val feats2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats1.map(_.checksum).toSeq === feats2.map(_.checksum).toSeq)
+    assert(feats1.forall(_.features.length === 8))
+    assert(feats1.map(_.kind).toSet === Set("image", "table_render"))
+  }
+
+  test("quality features sane on corpus text") {
+    val q = TextAnalysis.quality(docs, "doc_id", "text").collect()
+    assert(q.forall(r => r.getAs[Double]("stopword_ratio") >= 0.0 &&
+      r.getAs[Double]("stopword_ratio") <= 1.0))
+    assert(q.forall(_.getAs[Double]("avg_word_len") > 0))
+  }
+
+  test("embedding near-dup pairs are all above threshold and symmetric-free") {
+    val pairs = Dedup.embeddingCosinePairs(
+      spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding", threshold = 0.95)
+      .collect()
+    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.95))
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (a, b) => a < b })
+  }
+
+  test("minhash signature: more similar texts share more signature positions") {
+    val a = "the quick brown fox jumps over the lazy dog again and again in the field"
+    val b = a.replace("field", "meadow")
+    val c = "completely different content about spark catalyst optimizer internals"
+    val sa = TextFns.minhash(a, 3, 32)
+    val sb = TextFns.minhash(b, 3, 32)
+    val sc = TextFns.minhash(c, 3, 32)
+    val simAB = sa.zip(sb).count { case (x, y) => x == y }
+    val simAC = sa.zip(sc).count { case (x, y) => x == y }
+    assert(simAB > simAC)
+  }
+}
