@@ -65,13 +65,35 @@ object Communities {
       .select(col("key").as("doc_id"), col("v").as("node_id"), col("component"))
       .localCheckpoint(true)
 
-    val commIds = comps
-      .groupBy(col("doc_id"), col("component"))
+    // Leiden-style refinement inside each component (components are
+    // per-document entity graphs — small — so this is a local flatMapGroups,
+    // not another distributed iteration). Member rows carry b = null.
+    import spark.implicits._
+    val memberRows = comps.select(col("doc_id"), col("component"),
+      col("node_id").as("a"), lit(null).cast("string").as("b"))
+    val edgeComp = edgePairs
+      .join(comps, edgePairs("key") === comps("doc_id") && edgePairs("a") === comps("node_id"))
+      .select(comps("doc_id"), comps("component"), edgePairs("a"), edgePairs("b"))
+    val refined = memberRows.union(edgeComp)
+      .as[(String, String, String, String)]
+      .groupByKey { case (doc, compo, _, _) => (doc, compo) }
+      .flatMapGroups { (key: (String, String), rows: Iterator[(String, String, String, String)]) =>
+        val members = Vector.newBuilder[String]
+        val es = Vector.newBuilder[(String, String)]
+        rows.foreach { case (_, _, a, b) => if (b == null) members += a else es += ((a, b)) }
+        LocalCommunities.refine(members.result(), es.result()).map { case (nodeId, sub) =>
+          (key._1, nodeId, key._2 + "#" + sub)
+        }
+      }
+      .toDF("doc_id", "node_id", "sub_component")
+
+    val commIds = refined
+      .groupBy(col("doc_id"), col("sub_component"))
       .agg(min(col("node_id")).as("min_member"))
-      .select(col("doc_id"), col("component"),
+      .select(col("doc_id"), col("sub_component"),
         commIdUdf(col("doc_id"), col("min_member")).as("community_id"))
 
-    val membership = comps.join(commIds, Seq("doc_id", "component"))
+    val membership = refined.join(commIds, Seq("doc_id", "sub_component"))
       .select(col("doc_id"), col("node_id"), col("community_id"))
       .localCheckpoint(true)
 

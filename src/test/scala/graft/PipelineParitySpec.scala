@@ -54,6 +54,7 @@ class PipelineParitySpec extends SparkSpec {
       result.nodes.filter(col("level") === 1).select(col("id").as("frm")), Seq("frm"))
       .count()
     assert(commEdges === crossing)
+    assert(crossing > 0, "community refinement should split components (non-vacuous invariant)")
   }
 
   test("document nodes: children are that doc's communities") {
