@@ -147,6 +147,27 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.lshTopK(emb, emb.filter(col("id") < 20), k = 5)
     }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = s.read.parquet(t(d, "embeddings"))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(emb, emb.filter(col("id") < 20), k = 5)
+    }),
+
+    // ----- multimodal plumbing (opaque binary payloads + typed metadata;
+    // decode step stubbed deterministically — see ops/Multimodal.scala) ----
+    "q_media_features" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val spark = s; import spark.implicits._
+      val media = Multimodal.payloadFromRef(
+        s.read.parquet(t(d, "documents"))
+          .select(concat(lit("img://doc-"), col("doc_id"), lit("/fig-0.png")).as("media_ref"),
+            col("doc_id").cast("string").as("media_id")),
+        "media_ref")
+        .select(col("media_id"), col("kind"), col("payload"), col("width"), col("height"), col("format"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("width"), col("height"), col("checksum"))
+    }),
 
     // ----- KG pipeline stages (synthetic interleaved corpus; gated by the
     // ScalaTest parity suite — rows-only here) -------------------------------
@@ -161,7 +182,13 @@ object SparkEntry {
       .select(col("id"), col("name"), col("level"), col("is_visual"), col("community_id"))),
     "kg_documents" -> ((s, d) => kg(s, d).documents.drop("tags")),
     "kg_search" -> ((s, d) =>
-      graft.query.Search.quickSearch(kg(s, d).searchIndex, "who collaborates with Vertex Analytics"))
+      graft.query.Search.quickSearch(kg(s, d).searchIndex, "who collaborates with Vertex Analytics")),
+    "kg_global_search" -> ((s, d) =>
+      graft.query.Search.globalSearch(kg(s, d).searchIndex, "which network includes Vertex Analytics")),
+    "kg_stats" -> ((s, d) => {
+      val r = kg(s, d)
+      graft.query.GraphOps.stats(r.nodes, r.edges, r.properties)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

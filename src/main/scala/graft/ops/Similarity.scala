@@ -76,6 +76,66 @@ object Similarity {
     udf((codes: Seq[Int]) =>
       codes.zipWithIndex.map { case (c, t) => t.toLong * 65536L + c }.toArray)
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer trained with a few
+    * distributed Lloyd iterations (assignment is a narrow map against the
+    * broadcast centroid table; the update step is a posexplode +
+    * per-(cluster, dim) average — pure DataFrame aggregation, no driver
+    * loops over vectors). Corpus rows are bucketed by nearest centroid;
+    * each query probes its `nProbe` nearest lists and scores exact cosine
+    * only inside them. At 100 TB the corpus assignment is one pass and the
+    * probe join touches nProbe/nLists of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, iterations: Int = 3,
+              seed: Long = 7L): DataFrame = {
+    val c = corpus.select(col("id"), col("vec").as("cv"))
+
+    // init: deterministic hash-sample of nLists corpus vectors
+    var centroids: Array[Array[Float]] = c
+      .withColumn("h", abs(hash(col("id"), lit(seed))))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(nLists)
+      .select(col("cv")).collect()
+      .map(_.getAs[Seq[Float]](0).toArray)
+
+    def nearestUdf(cents: Array[Array[Float]], n: Int) =
+      udf((v: Seq[Float]) => {
+        val a = v.toArray
+        cents.zipWithIndex
+          .map { case (ct, i) => (1.0 - TextFns.cosine(ct, a), i) }
+          .sortBy(identity).take(n).map(_._2)
+      })
+
+    var it = 0
+    while (it < iterations) {
+      val cents = centroids
+      val assigned = c.withColumn("cluster", nearestUdf(cents, 1)(col("cv"))(0))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cluster"), col("ps.m").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getAs[Seq[Double]](1).map(_.toFloat).toArray)
+        .toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+
+    val cents = centroids
+    val bucketed = c.withColumn("cluster", nearestUdf(cents, 1)(col("cv"))(0))
+    val probed = queries.select(col("id").as("qid"), col("vec").as("qv"))
+      .withColumn("cluster", explode(nearestUdf(cents, nProbe)(col("qv"))))
+    val scored = bucketed.join(broadcast(probed), Seq("cluster"))
+      .filter(col("id") =!= col("qid"))
+      .select("qid", "id", "qv", "cv").distinct()
+      .withColumn("cosine", round(cosUdf(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN top-k: `tables` independent 6-bit hyperplane codes,
     * queries probe their own cell + all Hamming-1 cells per table, exact
     * cosine + top-k among the candidates only. */

@@ -1,0 +1,119 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-admin operators from SURVEY.md §2.3/§2.6/§2.7 that are not part of
+  * the build dataflow: dashboard stats (A5), level scans (Q7/Q8), document
+  * resolution/guards (Q4/Q5/Q6), and the removal cascades (G6/G7).
+  *
+  * Removals are expressed as snapshot→snapshot transformations (left-anti
+  * joins), never mutation: at 100 TB a delete is a rewritten table (or an
+  * Iceberg MERGE), and the anti-join shape is exactly what the connector
+  * pushes down. Reference semantics:
+  *   - node removal cascades to its edges + properties, detaches children
+  *     (eschergraph simple_repository.py:725-767);
+  *   - document removal deletes objects whose provenance references ONLY
+  *     this doc, and strips the doc's Meta entries from shared objects
+  *     (simple_repository.py:769-835).
+  */
+object GraphOps {
+
+  /** A5 — dashboard stats: per-level counts + top-k level-0 nodes by degree
+    * (reference visualization/dashboard_maker.py:33-79). Degree is computed
+    * on the exploded endpoint stream — one shuffle on node id, no self-join.
+    * Output: (section, key, value). */
+  def stats(nodes: DataFrame, edges: DataFrame, properties: DataFrame, topK: Int = 5): DataFrame = {
+    val levelCounts = nodes.groupBy(col("level"))
+      .agg(count(lit(1)).as("value"))
+      .select(lit("nodes_at_level").as("section"),
+        col("level").cast("string").as("key"), col("value"))
+    val totals = nodes.select(lit("total").as("section"), lit("nodes").as("key"))
+      .groupBy("section", "key").agg(count(lit(1)).as("value"))
+      .unionByName(edges.select(lit("total").as("section"), lit("edges").as("key"))
+        .groupBy("section", "key").agg(count(lit(1)).as("value")))
+      .unionByName(properties.select(lit("total").as("section"), lit("properties").as("key"))
+        .groupBy("section", "key").agg(count(lit(1)).as("value")))
+    val degree = edges.select(explode(array(col("frm"), col("to"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("value"))
+    val topNodes = nodes.filter(col("level") === 0)
+      .join(degree, Seq("id"))
+      .orderBy(col("value").desc, col("name").asc)
+      .limit(topK)
+      .select(lit("top_degree").as("section"), col("name").as("key"), col("value"))
+    totals.unionByName(levelCounts).unionByName(topNodes)
+  }
+
+  /** Q7 — max level present in the graph. */
+  def maxLevel(nodes: DataFrame): Int =
+    nodes.agg(max(col("level"))).head().getInt(0)
+
+  /** Q8 — all nodes at a level (partition-prunable when the nodes table is
+    * partitioned by level, which [[graft.app.BuildMain]] does). */
+  def atLevel(nodes: DataFrame, level: Int): DataFrame =
+    nodes.filter(col("level") === level)
+
+  /** Q4 — duplicate-document guard (reference graph/utils.py:13-41). */
+  def documentExists(documents: DataFrame, name: String): Boolean =
+    !documents.filter(col("name") === name).isEmpty
+
+  /** Q5 — search precondition: the graph must have level-0 nodes
+    * (reference graph/utils.py:44-53). */
+  def searchReady(nodes: DataFrame): Boolean =
+    !nodes.filter(col("level") === 0).isEmpty
+
+  /** Q6 — filename → document-id resolution; unresolved names are an error
+    * (reference graph/utils.py:56-81). */
+  def resolveDocumentIds(documents: DataFrame, names: Seq[String]): Seq[String] = {
+    val rows = documents.filter(col("name").isin(names: _*))
+      .select(col("name"), col("id")).collect()
+    val found = rows.map(_.getString(0)).toSet
+    val missing = names.filterNot(found)
+    require(missing.isEmpty, s"documents not found: ${missing.mkString(", ")}")
+    rows.map(_.getString(1)).toSeq
+  }
+
+  case class GraphSnapshot(nodes: DataFrame, edges: DataFrame, properties: DataFrame)
+
+  /** G6 — node-removal cascade: drop the nodes, their edges (either
+    * endpoint) and properties, detach survivors whose community pointer or
+    * child list referenced a victim. `victims` is a 1-column DataFrame of
+    * node ids — broadcast-small in the reference's interactive use
+    * (simple_repository.py:725-767 deletes one node at a time); for bulk
+    * deletes beyond broadcast size the same plan works with the hint
+    * removed (Catalyst falls back to a shuffled join). */
+  def removeNodes(g: GraphSnapshot, victims: DataFrame): GraphSnapshot = {
+    val v = broadcast(victims.select(col(victims.columns.head).as("victim_id")).distinct())
+    val vSet = broadcast(v.agg(collect_set(col("victim_id")).as("vs")))
+    val nodes = g.nodes
+      .join(v, g.nodes("id") === v("victim_id"), "left_anti")
+      .crossJoin(vSet)
+      .withColumn("community_id",
+        when(array_contains(col("vs"), col("community_id")), lit(""))
+          .otherwise(col("community_id")))
+      .withColumn("child_ids",
+        filter(col("child_ids"), c => !array_contains(col("vs"), c)))
+      .drop("vs")
+    val edges = g.edges
+      .join(v, g.edges("frm") === v("victim_id"), "left_anti")
+      .join(v, g.edges("to") === v("victim_id"), "left_anti")
+    val properties = g.properties
+      .join(v, g.properties("node_id") === v("victim_id"), "left_anti")
+    GraphSnapshot(nodes, edges, properties)
+  }
+
+  /** G7 — document-removal cascade: objects whose provenance metadata
+    * references ONLY this document are deleted; shared objects just lose
+    * this document's Meta entries (reference simple_repository.py:769-835).
+    * Every level carries provenance in our model (community/doc nodes are
+    * stamped with their document's id at build time), so one uniform
+    * strip-and-drop expresses the whole cascade — a narrow map + filter,
+    * no shuffle at all. */
+  def removeDocument(g: GraphSnapshot, docId: String): GraphSnapshot = {
+    def strip(df: DataFrame): DataFrame = df
+      .withColumn("metadata",
+        filter(col("metadata"), m => m.getField("document_id") =!= docId))
+      .filter(size(col("metadata")) > 0)
+    GraphSnapshot(strip(g.nodes), strip(g.edges), strip(g.properties))
+  }
+}
