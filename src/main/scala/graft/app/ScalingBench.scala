@@ -5,52 +5,100 @@ import graft.extract.DeterministicExtractor
 import graft.pipeline.BuildPipeline
 import org.apache.spark.sql.SparkSession
 
-/** Scaling-efficiency evidence for BASELINE.json north_rule: no real
-  * cluster exists in this sandbox, so the N vs 4N executor criterion is
-  * proxied by running the *identical* end-to-end KG build at local[8] and
-  * local[32] on the same seeded input (BASELINE.md documents the proxy).
-  * Prints throughput at both levels + efficiency = T(32) / (4 * T(8)) and
-  * appends a row to BENCH/BASELINE.md when given a path.
+/** Scaling-efficiency evidence for BASELINE.json north_rule.
+  *
+  * No real cluster exists in this sandbox, so the N vs 4N executor
+  * criterion is proxied by running the *identical* end-to-end KG build at
+  * local[8] and local[32] on the same seeded input. Two methodology
+  * guards make the numbers honest:
+  *
+  *   1. per-level JIT warmup — a small build runs (untimed) in each fresh
+  *      session before the measured build, so neither level pays one-time
+  *      codegen/JIT cost;
+  *   2. hardware calibration — an embarrassingly-parallel pure-CPU job
+  *      (fixed total work, 256 independent tasks) is timed at each level.
+  *      This sandbox is a contended VM: 32 threads deliver ~21 effective
+  *      cores (migration-thread steal), so even a *perfectly parallel*
+  *      job cannot speed up 4.0x from 8→32 threads. The calibration
+  *      measures what the hardware actually allows, and the engine's
+  *      speedup is reported both raw (vs the nominal 4x) and normalized
+  *      (vs the hardware-achievable speedup) — the normalized number is
+  *      the one that transfers to a real N→4N executor cluster, where
+  *      executors do not share cores.
   *
   * Usage: ScalingBench [nDocs] [outFile]
   */
 object ScalingBench {
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def build(spark: SparkSession, nDocs: Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val triples = BuildPipeline
+      .run(Corpus.docs(spark, nDocs), new DeterministicExtractor)
+      .triples.count()
+    ((System.nanoTime() - t0) / 1e9, triples)
+  }
+
+  /** Fixed total CPU work in 256 independent tasks — the hardware ceiling
+    * probe. Work per task ~0.4 s single-core. */
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 256L, 1L, 256).rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var h = 0x9e3779b97f4a7c15L + it.next()
+        var i = 0
+        while (i < 60000000) { h = (h ^ (h >>> 31)) * 0xff51afd7ed558ccdL; i += 1 }
+        Iterator.single(h)
+      }
+    }.count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
-    val nDocs = if (args.nonEmpty) args(0).toLong else 3000L
+    val nDocs = if (args.nonEmpty) args(0).toLong else 24000L
     val out = if (args.length > 1) Some(args(1)) else None
 
-    def runAt(cores: Int): (Double, Long) = {
-      val spark = SparkSession.builder()
-        .master(s"local[$cores]")
-        .appName(s"graft-scaling-$cores")
-        .config("spark.sql.shuffle.partitions", cores.toString)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      val t0 = System.nanoTime()
-      val triples = BuildPipeline
-        .run(Corpus.docs(spark, nDocs), new DeterministicExtractor)
-        .triples.count()
-      val secs = (System.nanoTime() - t0) / 1e9
+    def runLevel(cores: Int): (Double, Long, Double) = {
+      val spark = session(cores)
+      build(spark, 1000L) // warmup: codegen + JIT, untimed
+      val calib = calibrate(spark)
+      val (secs, triples) = build(spark, nDocs)
       spark.stop()
-      // allow a fresh context for the next level
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      (secs, triples)
+      (secs, triples, calib)
     }
 
-    val (t8, n8) = runAt(8)
-    val (t32, n32) = runAt(32)
+    val (t8, n8, c8) = runLevel(8)
+    val (t32, n32, c32) = runLevel(32)
     require(n8 == n32, s"triple counts differ across parallelism: $n8 vs $n32")
+
     val thr8 = nDocs / t8
     val thr32 = nDocs / t32
-    val eff = thr32 / (4.0 * thr8)
-    val line =
-      f"| $nDocs | local[8]: $t8%.1fs ($thr8%.1f docs/s) | local[32]: $t32%.1fs ($thr32%.1f docs/s) | $eff%.2f |"
+    val engineSpeedup = t8 / t32
+    val hwSpeedup = c8 / c32 // achievable ceiling on this box (<= 4.0)
+    val effRaw = engineSpeedup / 4.0
+    val effNorm = engineSpeedup / hwSpeedup
+
     println(s"[scaling] docs=$nDocs triples=$n8")
-    println(f"[scaling] local[8]=$t8%.1fs  local[32]=$t32%.1fs  speedup=${t8 / t32}%.2fx  efficiency=$eff%.2f")
+    println(f"[scaling] build   local[8]=$t8%.1fs ($thr8%.1f docs/s)  local[32]=$t32%.1fs ($thr32%.1f docs/s)  speedup=$engineSpeedup%.2fx")
+    println(f"[scaling] hw-cal  local[8]=$c8%.1fs  local[32]=$c32%.1fs  achievable speedup=$hwSpeedup%.2fx (nominal 4.00x)")
+    println(f"[scaling] efficiency: raw=$effRaw%.2f  normalized-to-hardware=$effNorm%.2f")
+    val line =
+      f"| $nDocs | local[8]: $t8%.1fs ($thr8%.1f docs/s) | local[32]: $t32%.1fs ($thr32%.1f docs/s) | $engineSpeedup%.2fx | $hwSpeedup%.2fx | $effRaw%.2f | $effNorm%.2f |"
     println(line)
     out.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p), (line + "\n").getBytes,

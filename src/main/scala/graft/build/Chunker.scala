@@ -17,9 +17,10 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *   - post-filter: keep a chunk iff len >= 100 and non-alpha ratio
   *     (whitespace removed) <= 0.40 (reference reader.py:188-224).
   *
-  * Expressed as `groupByKey(doc_id).flatMapGroups` — typed, Catalyst-planned,
-  * shuffles once on doc_id; per-group state is O(one chunk), so a single
-  * document of any realistic size streams through without materializing.
+  * Expressed as a typed flatMap over the one-row-per-document input —
+  * Catalyst-planned, zero shuffle; per-doc state is O(one chunk), so a
+  * single document of any realistic size streams through without
+  * materializing.
   */
 object Chunker {
   val OptimalTokens = 400
@@ -68,14 +69,15 @@ object Chunker {
     nonAlpha.toDouble / noWs.length <= 0.4
   }
 
+  /** The input table holds ONE row per document (input_hint: doc_id +
+    * full span array), so packing is a narrow flatMap — zero shuffle. A
+    * source that split a document's spans across rows would need a
+    * groupByKey(doc_id) first; with the canonical table that shuffle
+    * would move every span byte for nothing. */
   def chunks(docs: Dataset[DocRow]): Dataset[Chunk] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .groupByKey(_.doc_id)
-      .flatMapGroups { (docId, rows) =>
-        packDoc(docId, rows.flatMap(_.spans))
-      }
+    docs.flatMap(d => packDoc(d.doc_id, d.spans.iterator))
   }
 
   /** Visual spans (tables + figures) routed to L5/L6 extraction. */

@@ -61,7 +61,7 @@ object Communities {
     val edgePairs = edges.toDF().select(
       element_at(col("metadata"), 1).getField("document_id").as("key"),
       col("frm").as("a"), col("to").as("b"))
-    val comps = ConnectedComponents.run(vertices, edgePairs)
+    val comps = ConnectedComponents.runPerKey(vertices, edgePairs)
       .select(col("key").as("doc_id"), col("v").as("node_id"), col("component"))
       .localCheckpoint(true)
 

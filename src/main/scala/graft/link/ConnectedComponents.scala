@@ -48,12 +48,57 @@ object ConnectedComponents {
           labels("v"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
           (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
+      val t0 = System.nanoTime()
       val cp = updated.localCheckpoint(true)
       val changed = cp.filter(col("changed")).limit(1).count()
       labels = cp.select(col("key"), col("v"), col("new_label").as("label"))
       converged = changed == 0L
       iter += 1
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        System.err.println(f"[cc-timing] iter=$iter changed=${changed > 0} ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** Per-key exact components in ONE shuffle: groupByKey(key) + local
+    * union-find with path compression inside flatMapGroups. Correct and
+    * far cheaper than the iterative path whenever a single key's subgraph
+    * fits in executor memory — which per-document entity graphs do by
+    * construction (a doc has bounded spans → bounded mentions), regardless
+    * of corpus size. The iterative [[run]] stays the fallback for graphs
+    * with unbounded per-key size (e.g. corpus-global linking).
+    *
+    * Component label = lexicographic min member, identical to [[run]]'s
+    * min-label fixpoint (union-by-min keeps the smaller root, so the root
+    * of every tree is its component's minimum).
+    */
+  def runPerKey(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val vRows = vertices.select(col("key"), col("v").as("a"), lit(null).cast("string").as("b"))
+    val eRows = edges.select(col("key"), col("a"), col("b"))
+    vRows.union(eRows).as[(String, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key: String, rows: Iterator[(String, String, String)]) =>
+        val parent = scala.collection.mutable.HashMap[String, String]()
+        def add(x: String): Unit = if (!parent.contains(x)) parent(x) = x
+        def find(x: String): String = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        rows.foreach { case (_, a, b) =>
+          if (b == null) add(a)
+          else {
+            add(a); add(b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+        }
+        parent.keysIterator.map(v => (key, v, find(v))).toVector
+      }
+      .toDF("key", "v", "component")
   }
 }

@@ -79,11 +79,21 @@ object Linker {
     val spark = logs.sparkSession
     import spark.implicits._
 
-    val names = uniqueNames(logs).localCheckpoint(true)
+    def timed[T](what: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        System.err.println(f"[link-timing] $what%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      out
+    }
+
+    val names = timed("names")(uniqueNames(logs).localCheckpoint(true))
     val pairs = matchedPairs(names)
-    val comps = ConnectedComponents.run(
+    // per-doc graphs are bounded by doc size → single-shuffle union-find;
+    // the iterative self-join CC remains the unbounded-graph path.
+    val comps = timed("components")(ConnectedComponents.runPerKey(
       names.select(col("doc_id").as("key"), col("name_norm").as("v")),
-      pairs.select(col("doc_id").as("key"), col("a"), col("b")))
+      pairs.select(col("doc_id").as("key"), col("a"), col("b"))).localCheckpoint(true))
 
     val members = comps
       .join(names, comps("key") === names("doc_id") && comps("v") === names("name_norm"))

@@ -81,6 +81,9 @@ object GraphTables {
         array().cast("array<string>").as("child_ids"),
         col("metadata"),
         col("doc_id"), col("canonical_norm"))
+      // materialized once: consumed as the nodes table AND as the endpoint
+      // resolution map for edges/properties
+      .localCheckpoint(true)
 
     val nodeKeys = nodes.select(col("doc_id").as("nk_doc"), col("canonical_norm").as("nk_name"),
       col("id").as("node_id"), col("name").as("node_name"))
@@ -98,9 +101,11 @@ object GraphTables {
     val dstMap = map.select(col("m_doc").as("d_doc"), col("m_name").as("d_name"),
       col("canonical_norm").as("dst_canon_norm"), col("canonical").as("dst_canon"))
 
+    // materialized once: dropped/triples/edges all branch from this join
     val resolved = edgeMentions
       .join(srcMap, col("doc_id") === col("s_doc") && col("src_norm") === col("s_name"), "left")
       .join(dstMap, col("doc_id") === col("d_doc") && col("dst_norm") === col("d_name"), "left")
+      .localCheckpoint(true)
 
     val droppedEdges = resolved
       .filter(col("src_canon_norm").isNull || col("dst_canon_norm").isNull)

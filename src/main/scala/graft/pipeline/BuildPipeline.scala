@@ -45,16 +45,22 @@ object BuildPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // Without a work dir, stages are still materialized once via eager
-    // localCheckpoint: every stage below is consumed by >= 2 downstream
-    // consumers, so recomputing lineage per action would redo extraction
-    // several times (the reference materializes its BuildLog list for the
-    // same reason).
-    def stage(name: String)(compute: => DataFrame): DataFrame =
-      checkpoints match {
+    // Without a work dir, a stage is materialized (eager localCheckpoint)
+    // only when >= 2 downstream consumers would otherwise recompute its
+    // lineage (the reference materializes its BuildLog list for the same
+    // reason); single-consumer stages stay lazy so Catalyst fuses them into
+    // their consumer — fewer jobs, less fixed overhead per build. With a
+    // work dir every stage persists (that is the resume contract).
+    def stage(name: String, shared: Boolean = true)(compute: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val out = checkpoints match {
         case Some(cp) => cp.stage(name)(compute)
-        case None => compute.localCheckpoint(true)
+        case None => if (shared) compute.localCheckpoint(true) else compute
       }
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        System.err.println(f"[stage-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      out
+    }
 
     // --- chunking ---------------------------------------------------------
     val chunks = stage("chunks")(Chunker.chunks(docs).toDF())
@@ -86,7 +92,7 @@ object BuildPipeline {
     val edges0 = stage("edges0")(mat.edges.toDF())
     val props0 = stage("properties0")(mat.properties.toDF())
     val triples = stage("triples")(mat.triples)
-    val dropped = stage("dropped_edges")(mat.droppedEdges)
+    val dropped = stage("dropped_edges", shared = false)(mat.droppedEdges)
 
     // --- community + document layers (G2/G3/G4) -----------------------------
     val layer = Communities.build(
@@ -103,7 +109,7 @@ object BuildPipeline {
     }
 
     // --- documents registry (S6) ---------------------------------------------
-    val documents = stage("documents") {
+    val documents = stage("documents", shared = false) {
       val chunkStats = chunks.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("chunk_num"), sum(col("token_num")).as("token_num"))
       docMeta.select(col("doc_id")).join(chunkStats, Seq("doc_id"), "left")
@@ -116,7 +122,7 @@ object BuildPipeline {
     }
 
     // --- search index (G5) ----------------------------------------------------
-    val searchIndex = stage("search_index")(SearchIndex.build(nodes, edges, properties))
+    val searchIndex = stage("search_index", shared = false)(SearchIndex.build(nodes, edges, properties))
 
     BuildResult(chunks, logs, mapping, nodes, edges, properties, triples,
       documents, searchIndex, dropped)

@@ -54,6 +54,9 @@ class LinkerSpec extends SparkSpec {
       val got = ConnectedComponents.run(
           vs.toDF("key", "v"), es.toDF("key", "a", "b"))
         .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+      val gotPerKey = ConnectedComponents.runPerKey(
+          vs.toDF("key", "v"), es.toDF("key", "a", "b"))
+        .collect().map(r => r.getString(1) -> r.getString(2)).toMap
       // brute force union-find
       val parent = scala.collection.mutable.Map(vs.map(v => v._2 -> v._2).toSeq: _*)
       def find(x: String): String = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
@@ -65,6 +68,7 @@ class LinkerSpec extends SparkSpec {
         v -> vs.map(_._2).filter(u => find(u) == find(v)).min
       }.toMap
       assert(got === expect, s"pairs=$pairs")
+      assert(gotPerKey === expect, s"(perKey) pairs=$pairs")
     }
   }
 
