@@ -126,9 +126,16 @@ object SparkEntry {
         k = 3, numPerm = 16, bands = 4, threshold = 0.8)),
     "q_simhash" -> ((s, d) =>
       Dedup.simhashPairs(s.read.parquet(t(d, "documents")), "doc_id", "text", maxHamming = 3)),
-    "q_embed_neardup" -> ((s, d) =>
+    "q_embed_neardup" -> ((s, d) => {
+      // the synthetic embeddings carry no natural near-dups (max pairwise
+      // cosine ~0.5), so plant exact duplicates of the first 20 vectors
+      // (id + 1e6) — the operator must find exactly those pairs.
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
       Dedup.embeddingCosinePairs(
-        s.read.parquet(t(d, "embeddings")), "vec_id", "embedding", threshold = 0.95)),
+        emb.unionByName(planted), "vec_id", "embedding", threshold = 0.95)
+    }),
 
     // ----- text analysis ----------------------------------------------------
     "q_quality" -> ((s, d) =>
@@ -278,6 +285,16 @@ object SparkEntry {
         |  round(length(regexp_replace(regexp_replace(text, '\s+', '', 'g'), '[A-Za-z]', '', 'g')) * 1.0
         |    / length(regexp_replace(text, '\s+', '', 'g')), 4) AS non_alpha_ratio
         |FROM documents""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20
+        |)
+        |SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM c a JOIN c b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),
