@@ -1,0 +1,22 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for representative queries so plan
+  * regressions (lost pushdown / broadcast / codegen) are visible. */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq("q_agg_pricing", "q_join_agg", "q_chunk_filter",
+      "q_window_top1", "q_exact_dedup", "q_cosine_topk", "q_token_count")
+    interesting.foreach { name =>
+      println(s"\n===================== $name =====================")
+      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -102,6 +102,40 @@ object GraphOps {
     GraphSnapshot(nodes, edges, properties)
   }
 
+  /** A7/G5 — snapshot diff: the append-only replacement for the
+    * reference's mutable ChangeLog fold (prepare_sync_data.py:80-93, which
+    * reduces CREATE/UPDATE/DELETE logs per object to "insert" or
+    * "delete"). Two snapshots of any keyed table → (id, action) where
+    * action ∈ {create, delete, update}; the vector-db sync applies
+    * deletes then upserts. Left-anti joins both ways + an inner join on
+    * changed payloads — all equi-joins on the id, broadcast when one
+    * side is small, AQE otherwise. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"),
+      sha2(to_json(struct(oldSnap.columns.sorted.map(col): _*)), 256).as("old_hash"))
+    val n = newSnap.select(col(idCol).as("id"),
+      sha2(to_json(struct(newSnap.columns.sorted.map(col): _*)), 256).as("new_hash"))
+    val created = n.join(o, Seq("id"), "left_anti").select(col("id"), lit("create").as("action"))
+    val deleted = o.join(n, Seq("id"), "left_anti").select(col("id"), lit("delete").as("action"))
+    val updated = n.join(o, Seq("id"))
+      .filter(col("new_hash") =!= col("old_hash"))
+      .select(col("id"), lit("update").as("action"))
+    created.unionByName(deleted).unionByName(updated)
+  }
+
+  /** F7 — tag filter (reference simple_repository.py:692-723): a document
+    * matches iff every filter tag is present with an equal value; with
+    * `ignoreMissing` a document lacking the tag key is not disqualified
+    * by it. Plain map functions — stays in codegen, pushes nothing to the
+    * scan but prunes to the tags column only. */
+  def filterByTags(documents: DataFrame, tags: Map[String, String],
+                   ignoreMissing: Boolean = false): DataFrame =
+    tags.foldLeft(documents) { case (df, (k, v)) =>
+      val present = map_contains_key(col("tags"), lit(k))
+      val equal = element_at(col("tags"), lit(k)) === lit(v)
+      df.filter(if (ignoreMissing) !present || equal else present && equal)
+    }
+
   /** G7 — document-removal cascade: objects whose provenance metadata
     * references ONLY this document are deleted; shared objects just lose
     * this document's Meta entries (reference simple_repository.py:769-835).

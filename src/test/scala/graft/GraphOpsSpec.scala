@@ -84,6 +84,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(doc1 === Seq())
   }
 
+  test("A7 snapshot diff: create/delete/update classified per id") {
+    val old = Seq(("a", "x", 1), ("b", "y", 2), ("c", "z", 3)).toDF("id", "payload", "v")
+    val neu = Seq(("b", "y", 2), ("c", "z9", 3), ("d", "w", 4)).toDF("id", "payload", "v")
+    val diff = GraphOps.snapshotDiff(old, neu, "id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(diff === Set(("a", "delete"), ("c", "update"), ("d", "create")))
+  }
+
+  test("F7 tag filter: all tags must match; ignoreMissing relaxes absent keys") {
+    val docs = Seq(
+      ("d1", Map("team" -> "core", "year" -> "2024")),
+      ("d2", Map("team" -> "core")),
+      ("d3", Map("team" -> "infra", "year" -> "2024"))
+    ).toDF("id", "tags")
+    val strict = GraphOps.filterByTags(docs, Map("team" -> "core", "year" -> "2024"))
+      .select("id").as[String].collect().toSet
+    assert(strict === Set("d1"))
+    val relaxed = GraphOps.filterByTags(docs, Map("team" -> "core", "year" -> "2024"),
+      ignoreMissing = true).select("id").as[String].collect().toSet
+    assert(relaxed === Set("d1", "d2"))
+  }
+
   test("G7 document removal: only-this-doc objects die, shared ones lose provenance") {
     val out = GraphOps.removeDocument(g, "d1")
     val ids = out.nodes.select("id").as[String].collect().toSet
