@@ -195,7 +195,9 @@ object SparkEntry {
     "kg_stats" -> ((s, d) => {
       val r = kg(s, d)
       graft.query.GraphOps.stats(r.nodes, r.edges, r.properties)
-    })
+    }),
+    "kg_entity_catalog" -> ((s, d) =>
+      graft.materialize.GlobalCatalog.entityCatalog(kg(s, d).nodes))
   )
 
   def oracleSql: Map[String, String] = Map(

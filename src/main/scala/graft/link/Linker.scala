@@ -2,7 +2,7 @@ package graft.link
 
 import graft.core._
 import graft.functions.TextFns
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Entity linking + canonicalization (reference
@@ -40,16 +40,23 @@ object Linker {
     * the gathered descriptions of the mentions (A6: used for ambiguous
     * assignment). */
   def uniqueNames(logs: Dataset[ExtractionLog]): DataFrame = {
-    val nodeNames = logs.select(col("doc_id"), explode(col("nodes")).as("n"))
-      .select(col("doc_id"), col("n.name").as("display"), col("n.description").as("description"))
-    val edgeEnds = logs.select(col("doc_id"), explode(col("edges")).as("e"))
-      .select(col("doc_id"), col("e.source").as("display"), col("e.relationship").as("description"))
-      .union(logs.select(col("doc_id"), explode(col("edges")).as("e"))
-        .select(col("doc_id"), col("e.target").as("display"), col("e.relationship").as("description")))
-    val propOwners = logs.select(col("doc_id"), explode(col("properties")).as("p"))
-      .select(col("doc_id"), col("p.entity_name").as("display"),
-        array_join(col("p.properties"), " ").as("description"))
-    nodeNames.union(edgeEnds).union(propOwners)
+    // one scan + one explode: all four mention projections (node names,
+    // edge sources, edge targets, property owners) are concatenated as
+    // arrays inside the row before exploding, instead of a 4-way union
+    // that re-reads the logs per branch
+    def m(display: Column, description: Column) =
+      struct(display.as("display"), description.as("description"))
+    logs.toDF()
+      .select(col("doc_id"), explode(concat(
+        transform(col("nodes"), n => m(n.getField("name"), n.getField("description"))),
+        transform(col("edges"), e => m(e.getField("source"), e.getField("relationship"))),
+        transform(col("edges"), e => m(e.getField("target"), e.getField("relationship"))),
+        transform(col("properties"),
+          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " ")))
+      )).as("mention"))
+      .select(col("doc_id"),
+        col("mention.display").as("display"),
+        col("mention.description").as("description"))
       .withColumn("name_norm", lower(trim(col("display"))))
       .filter(col("name_norm") =!= "")
       .groupBy(col("doc_id"), col("name_norm"))
