@@ -297,6 +297,25 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
+    "q_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, len(tk) AS ntk,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('the','and','of','to','is','in','that','with')))*1.0/len(tk) END AS s_en,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit','ein')))*1.0/len(tk) END AS s_de,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('el','la','de','que','y','es','en','los')))*1.0/len(tk) END AS s_es,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('le','la','de','et','est','les','des','une')))*1.0/len(tk) END AS s_fr
+        |  FROM toks
+        |)
+        |SELECT doc_id AS id,
+        |  CASE WHEN ntk = 0 THEN 'und'
+        |       WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+        |       ELSE list_max([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
+        |                      {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'}])['l']
+        |  END AS lang_pred
+        |FROM sc""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),
