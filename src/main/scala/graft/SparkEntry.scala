@@ -197,7 +197,13 @@ object SparkEntry {
       graft.query.GraphOps.stats(r.nodes, r.edges, r.properties)
     }),
     "kg_entity_catalog" -> ((s, d) =>
-      graft.materialize.GlobalCatalog.entityCatalog(kg(s, d).nodes))
+      graft.materialize.GlobalCatalog.entityCatalog(kg(s, d).nodes)),
+    "kg_search_enriched" -> ((s, d) => {
+      val r = kg(s, d)
+      graft.query.Search.enrich(
+        graft.query.Search.quickSearch(r.searchIndex, "who collaborates with Vertex Analytics"),
+        r.nodes, r.edges, r.properties)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(

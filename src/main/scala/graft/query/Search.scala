@@ -58,6 +58,42 @@ object Search {
   def globalSearch(index: DataFrame, query: String, docIds: Seq[String] = Nil): DataFrame =
     retrieve(index, query, level = 1, topN = 15, threshold = 0.0, docIds)
 
+  /** J8 — search-result enrichment (reference quick_search.py:212-244):
+    * each hit joins back to its graph row by type; edges additionally
+    * resolve endpoint names, properties resolve the owner name (the
+    * reference's "parent nodes"). Three type-partitioned left joins on id
+    * — the hit set is top-k small, so every probe side broadcasts. */
+  def enrich(hits: DataFrame, nodes: DataFrame, edges: DataFrame,
+             properties: DataFrame): DataFrame = {
+    val h = broadcast(hits)
+    val names = nodes.select(col("id").as("nid"), col("name"))
+
+    val nodeHits = h.filter(col("type") === "node")
+      .join(nodes.select(col("id"), col("name"), col("description"), col("level")), Seq("id"), "left")
+      .select(col("id"), col("type"), col("text"), col("score"), col("document_id"),
+        col("name").as("subject"), col("description").as("detail"),
+        array().cast("array<string>").as("parent_names"))
+
+    val edgeHits = h.filter(col("type") === "edge")
+      .join(edges.select(col("id"), col("frm"), col("to"), col("description")), Seq("id"), "left")
+      .join(names.select(col("nid").as("frm"), col("name").as("frm_name")), Seq("frm"), "left")
+      .join(names.select(col("nid").as("to"), col("name").as("to_name")), Seq("to"), "left")
+      .select(col("id"), col("type"), col("text"), col("score"), col("document_id"),
+        concat_ws(" ↔ ", col("frm_name"), col("to_name")).as("subject"),
+        col("description").as("detail"),
+        array(col("frm_name"), col("to_name")).as("parent_names"))
+
+    val propHits = h.filter(col("type") === "property")
+      .join(properties.select(col("id"), col("node_id"), col("description")), Seq("id"), "left")
+      .join(names.select(col("nid").as("node_id"), col("name").as("owner_name")), Seq("node_id"), "left")
+      .select(col("id"), col("type"), col("text"), col("score"), col("document_id"),
+        col("owner_name").as("subject"), col("description").as("detail"),
+        array(col("owner_name")).as("parent_names"))
+
+    nodeHits.unionByName(edgeHits).unionByName(propHits)
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
   case class RagAnswer(answer: String, sources: Seq[String])
 
   /** L9 stand-in: deterministic answer assembly from the retrieved context

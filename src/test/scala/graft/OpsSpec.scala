@@ -49,6 +49,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6) // multi-probe radius 1 on 8-bit codes
   }
 
+  test("ivf ANN top-k recall vs brute force; self-match excluded") {
+    val queries = emb.filter(col("id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nLists = 16, nProbe = 4)
+    val pairs = ivf.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists { case (q, i) => q == i })
+    assert(ivf.groupBy("qid").count().agg(max("count")).head().getLong(0) <= 5L)
+    val recall = (bf intersect pairs).size.toDouble / bf.size
+    info(f"ivf recall@5 (nProbe=4/16): $recall%.3f")
+    assert(recall >= 0.5) // probing a quarter of the lists
+  }
+
   test("exact dedup keeps exactly one survivor per content hash") {
     val d = Dedup.exact(docs, "doc_id", "text")
     val groups = d.groupBy("content_hash")

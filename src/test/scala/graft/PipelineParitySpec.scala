@@ -79,4 +79,20 @@ class PipelineParitySpec extends SparkSpec {
     assert(hits.count() > 0)
     assert(hits.filter(col("score") <= 0.1).count() === 0)
   }
+
+  test("search enrichment (J8) resolves every hit to its graph row + parents") {
+    val someName = result.nodes.filter(col("level") === 0)
+      .orderBy(col("name")).select("name").first().getString(0)
+    val hits = graft.query.Search.quickSearch(result.searchIndex, s"who partners with $someName")
+    val enriched = graft.query.Search.enrich(hits, result.nodes, result.edges, result.properties)
+    assert(enriched.count() === hits.count())
+    // every hit resolves: subject non-null; edges carry both endpoint names
+    assert(enriched.filter(col("subject").isNull || col("subject") === "").count() === 0)
+    val edgeRows = enriched.filter(col("type") === "edge")
+    if (!edgeRows.isEmpty) {
+      assert(edgeRows.filter(size(col("parent_names")) =!= 2).count() === 0)
+      assert(edgeRows.filter(get(col("parent_names"), lit(0)).isNull ||
+        get(col("parent_names"), lit(1)).isNull).count() === 0)
+    }
+  }
 }
