@@ -39,6 +39,10 @@ trait SpanExtractor extends Serializable {
   * well-defined (SURVEY.md §7.5).
   */
 class DeterministicExtractor extends SpanExtractor {
+  // CPU-bound (no IO to hide): run inline on the task thread; Spark's
+  // task parallelism is the concurrency (see BoundedExec).
+  override def maxConcurrency: Int = 1
+
   // longest-first so "supplies components to" wins over a bare "to", and
   // "is located in" wins over the copular "is" property pattern.
   private val preds: Vector[String] =
@@ -149,6 +153,11 @@ object BoundedExec {
   def mapBounded[A, B](it: Iterator[A], concurrency: Int, batchSize: Int = 64)(
       f: A => B): Iterator[B] = {
     if (!it.hasNext) return Iterator.empty
+    // concurrency exists to hide per-call LATENCY (LLM/HTTP clients). A
+    // CPU-bound extractor declares maxConcurrency=1 and takes the direct
+    // path: task parallelism already saturates the cores, and a pool per
+    // partition would only add oversubscription.
+    if (concurrency <= 1) return it.map(f)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
     val batches = it.grouped(batchSize)
     new Iterator[B] {

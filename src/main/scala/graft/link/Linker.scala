@@ -65,18 +65,22 @@ object Linker {
         array_join(array_sort(collect_set(col("description"))), " ").as("descs"))
   }
 
-  /** Candidate pairs via token blocking, scored with token_set_ratio. */
+  /** Candidate pairs via token blocking, scored with token_set_ratio.
+    * Deliberately NOT deduplicated: two names sharing k tokens emit the
+    * pair k times, but the consumer is union-find, where redundant edges
+    * are free — cheaper than the extra full shuffle a distinct() costs
+    * (names are a handful of tokens, so k is tiny). `array_distinct` on
+    * the per-name token list keeps within-name token repeats out. */
   def matchedPairs(names: DataFrame): DataFrame = {
     val toks = names
       .select(col("doc_id"), col("name_norm"),
-        explode(split(regexp_replace(col("name_norm"), "[^a-z0-9]+", " "), " ")).as("tok"))
+        explode(array_distinct(
+          split(regexp_replace(col("name_norm"), "[^a-z0-9]+", " "), " "))).as("tok"))
       .filter(col("tok") =!= "")
-      .distinct()
     val a = toks.select(col("doc_id"), col("tok"), col("name_norm").as("a"))
     val b = toks.select(col("doc_id").as("doc_id2"), col("tok").as("tok2"), col("name_norm").as("b"))
     a.join(b, col("doc_id") === col("doc_id2") && col("tok") === col("tok2") && col("a") < col("b"))
       .select(col("doc_id"), col("a"), col("b"))
-      .distinct()
       .filter(tokenSetRatioUdf(col("a"), col("b")) >= MatchThreshold)
   }
 
