@@ -34,7 +34,9 @@ object Linker {
 
   val MatchThreshold = 95
 
-  val tokenSetRatioUdf = udf((a: String, b: String) => TextFns.tokenSetRatio(a, b))
+  /** Hot path: native codegen expression, not a UDF (see TokenSetRatioExpr). */
+  private def tokenSetRatioCol(a: Column, b: Column): Column =
+    graft.functions.TokenSetRatio(a, b)
 
   /** Unique normalized names per doc with a deterministic display form and
     * the gathered descriptions of the mentions (A6: used for ambiguous
@@ -81,7 +83,7 @@ object Linker {
     val b = toks.select(col("doc_id").as("doc_id2"), col("tok").as("tok2"), col("name_norm").as("b"))
     a.join(b, col("doc_id") === col("doc_id2") && col("tok") === col("tok2") && col("a") < col("b"))
       .select(col("doc_id"), col("a"), col("b"))
-      .filter(tokenSetRatioUdf(col("a"), col("b")) >= MatchThreshold)
+      .filter(tokenSetRatioCol(col("a"), col("b")) >= MatchThreshold)
   }
 
   /** name → canonical mapping per doc:
