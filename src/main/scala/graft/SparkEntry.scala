@@ -137,6 +137,16 @@ object SparkEntry {
         emb.unionByName(planted), "vec_id", "embedding", threshold = 0.95)
     }),
 
+    "q_dedup_clusters" -> ((s, d) => {
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val corpus = emb.unionByName(planted)
+      val pairs = Dedup.embeddingCosinePairs(corpus, "vec_id", "embedding", threshold = 0.95)
+      Dedup.dedupClusters(corpus, "vec_id", pairs)
+        .withColumnRenamed("group", "group_id")
+    }),
+
     // ----- text analysis ----------------------------------------------------
     "q_quality" -> ((s, d) =>
       TextAnalysis.quality(s.read.parquet(t(d, "documents")), "doc_id", "text")),
@@ -303,6 +313,24 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH c AS (
+        |  SELECT vec_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id < 20
+        |)
+        |SELECT CAST(vec_id AS VARCHAR) AS id,
+        |  CASE WHEN vec_id < 20
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
+        |       WHEN vec_id >= 1000000
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
+        |       ELSE CAST(vec_id AS VARCHAR) END AS group_id,
+        |  CAST(vec_id AS VARCHAR) = CASE WHEN vec_id < 20
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
+        |       WHEN vec_id >= 1000000
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
+        |       ELSE CAST(vec_id AS VARCHAR) END AS keep
+        |FROM c""".stripMargin,
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk

@@ -107,6 +107,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup **clustering with survivor selection** — what a training
+    * pipeline actually executes after pair generation: near-dup pairs form
+    * a similarity graph whose connected components are dedup groups; one
+    * canonical survivor (min id) is kept per group. Pairs come from any of
+    * the pair generators above. The graph is corpus-global (no doc key
+    * bounds a component), so this exercises the ITERATIVE DataFrame
+    * union-find — min-label propagation rounds are bounded by component
+    * diameter, which near-dup transitivity keeps shallow.
+    * Output: (id, group, keep). Singleton docs keep themselves. */
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    import graft.link.ConnectedComponents
+    val vertices = df.select(lit("g").as("key"), col(idCol).cast("string").as("v"))
+    val edges = pairs.select(lit("g").as("key"),
+      col("ida").cast("string").as("a"), col("idb").cast("string").as("b"))
+    ConnectedComponents.run(vertices, edges)
+      .select(col("v").as("id"), col("component").as("group"))
+      .withColumn("keep", col("id") === min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
+  }
+
   /** Embedding-cosine near-dup pairs via multi-table random-hyperplane LSH
     * (deterministic planes from a fixed seed): each vector lands in one
     * cell per table; one side additionally probes Hamming-1 cells; exact

@@ -62,6 +62,16 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5) // probing a quarter of the lists
   }
 
+  test("dedup clusters: transitive pairs form one group, one survivor each") {
+    val corpus = Seq("a", "b", "c", "d", "e").toDF("id")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("ida", "idb") // a~b~c transitively
+    val out = Dedup.dedupClusters(corpus, "id", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(out === Set(
+      ("a", "a", true), ("b", "a", false), ("c", "a", false),
+      ("d", "d", true), ("e", "e", true)))
+  }
+
   test("exact dedup keeps exactly one survivor per content hash") {
     val d = Dedup.exact(docs, "doc_id", "text")
     val groups = d.groupBy("content_hash")
