@@ -76,8 +76,17 @@ class DeterministicExtractor extends SpanExtractor {
           nodes += NodeExt(b, s)
           edges += EdgeExt(a, b, p)
         case None =>
-          val idx = s.indexOf(" is ")
-          if (idx > 0) nodes += NodeExt(s.substring(0, idx).trim, s)
+          // heading mention ("Part N concerning X") — an entity's FIRST
+          // (full-form) mention can sit in a section header; skipping it
+          // would truncate the canonical form for the whole document
+          val cIdx = s.indexOf(" concerning ")
+          if (cIdx > 0 && s.startsWith("Part ")) {
+            val name = s.substring(cIdx + " concerning ".length).trim
+            if (name.nonEmpty) nodes += NodeExt(name, s)
+          } else {
+            val idx = s.indexOf(" is ")
+            if (idx > 0) nodes += NodeExt(s.substring(0, idx).trim, s)
+          }
       }
     }
     (dedupNodes(nodes.result()), edges.result())

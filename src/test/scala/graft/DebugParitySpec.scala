@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 class DebugParitySpec extends SparkSpec {
   ignore("dump mismatches") {
-    val nDocs = 40L
+    val nDocs = 400L
     val result = BuildPipeline.run(Corpus.docs(spark, nDocs), new DeterministicExtractor)
     val oracle = Corpus.oracleTriples(spark, nDocs).toDF()
     val got = result.triples.select("doc_id", "subj", "pred", "obj").distinct().cache()
