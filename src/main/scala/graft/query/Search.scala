@@ -43,9 +43,11 @@ object Search {
     val w = Window.orderBy(col("score").desc, col("id").asc)
     hits
       .withColumn("rn", row_number().over(w))
+      // empty preceding frame (the top hit) sums to NULL -> coalesce to 0,
+      // otherwise the best-ranked result is always dropped
       .withColumn("bad_before",
-        sum(when(col("score") <= threshold, 1).otherwise(0))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        coalesce(sum(when(col("score") <= threshold, 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
       .filter(col("score") > threshold && col("bad_before") === 0)
       .select(col("id"), col("text"), col("type"), col("document_id"), col("score"), col("rn"))
   }

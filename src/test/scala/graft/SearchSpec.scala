@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.TextFns
+import graft.query.Search
+import org.apache.spark.sql.functions._
+
+/** Retrieve semantics vs the reference (quick_search.py:180-209): results
+  * are score-ordered and the filter BREAKS at the first below-threshold
+  * row — a later row with a passing score is still dropped. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def indexRow(id: String, text: String, level: Int = 0) =
+    (id, text, "node", level, "doc-1", TextFns.embed(text))
+
+  test("prefix-break: rows after the first below-threshold score are dropped") {
+    // query "alpha beta" → scores: "alpha beta"=1.0, "alpha"≈0.7, "zzz"=0,
+    // "beta"≈0.7 — score order: [1.0, .7, .7, 0]; all pass except the last
+    // → no break before passing rows
+    val idx = Seq(
+      indexRow("a", "alpha beta"),
+      indexRow("b", "alpha"),
+      indexRow("c", "zzz"),
+      indexRow("d", "beta")
+    ).toDF("id", "text", "type", "level", "document_id", "embedding")
+    val hits = Search.retrieve(idx, "alpha beta", level = 0, topN = 10, threshold = 0.1)
+      .select("id").as[String].collect().toSet
+    assert(hits === Set("a", "b", "d"))
+  }
+
+  test("threshold prunes the score-ordered suffix (break ≡ filter on ordered lists)") {
+    // the reference breaks at the first below-threshold row of a
+    // score-DESC list — failures are always a suffix, so the observable
+    // contract is: exactly the above-threshold prefix survives
+    val idx = Seq(
+      indexRow("a", "alpha beta"),
+      indexRow("b", "alpha"),
+      indexRow("d", "beta")
+    ).toDF("id", "text", "type", "level", "document_id", "embedding")
+    val strict = Search.retrieve(idx, "alpha beta", level = 0, topN = 10, threshold = 0.9)
+      .select("id").as[String].collect().toSet
+    assert(strict === Set("a"))
+  }
+
+  test("level + document filters select the right index slice") {
+    val idx = Seq(
+      indexRow("n0", "alpha", level = 0),
+      indexRow("n1", "alpha", level = 1)
+    ).toDF("id", "text", "type", "level", "document_id", "embedding")
+    assert(Search.retrieve(idx, "alpha", 1, 10, 0.0).select("id").as[String].collect().toSeq === Seq("n1"))
+    assert(Search.retrieve(idx, "alpha", 0, 10, 0.0, docIds = Seq("doc-2")).count() === 0)
+  }
+}
