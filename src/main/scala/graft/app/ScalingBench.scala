@@ -72,33 +72,42 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 24000L
     val out = if (args.length > 1) Some(args(1)) else None
+    val rounds = if (args.length > 2) args(2).toInt else 3
 
-    def runLevel(cores: Int): (Double, Long, Double) = {
-      val spark = session(cores)
-      build(spark, 1000L) // warmup: codegen + JIT, untimed
-      val calib = calibrate(spark)
-      val (secs, triples) = build(spark, nDocs)
-      spark.stop()
-      (secs, triples, calib)
+    // Alternate levels across `rounds` and keep the per-level MINIMUM:
+    // external contention only ever ADDS time, so best-of-N is the
+    // unbiased estimator of what each level actually costs. (Observed on
+    // this box: the same local[32] build varies 50s..158s run-to-run while
+    // local[8] varies 31s..163s — single-shot numbers are meaningless.)
+    var bestT8, bestT32, bestC8, bestC32 = Double.MaxValue
+    var n8, n32 = -1L
+    (1 to rounds).foreach { r =>
+      Seq(8, 32).foreach { cores =>
+        val spark = session(cores)
+        build(spark, 1000L) // warmup: codegen + JIT, untimed
+        val calib = calibrate(spark)
+        val (secs, triples) = build(spark, nDocs)
+        spark.stop()
+        println(f"[scaling] round $r local[$cores]: build=$secs%.1fs calib=$calib%.1fs")
+        if (cores == 8) { bestT8 = math.min(bestT8, secs); bestC8 = math.min(bestC8, calib); n8 = triples }
+        else { bestT32 = math.min(bestT32, secs); bestC32 = math.min(bestC32, calib); n32 = triples }
+      }
     }
-
-    val (t8, n8, c8) = runLevel(8)
-    val (t32, n32, c32) = runLevel(32)
     require(n8 == n32, s"triple counts differ across parallelism: $n8 vs $n32")
 
-    val thr8 = nDocs / t8
-    val thr32 = nDocs / t32
-    val engineSpeedup = t8 / t32
-    val hwSpeedup = c8 / c32 // achievable ceiling on this box (<= 4.0)
+    val thr8 = nDocs / bestT8
+    val thr32 = nDocs / bestT32
+    val engineSpeedup = bestT8 / bestT32
+    val hwSpeedup = bestC8 / bestC32 // achievable ceiling on this box (<= 4.0)
     val effRaw = engineSpeedup / 4.0
     val effNorm = engineSpeedup / hwSpeedup
 
-    println(s"[scaling] docs=$nDocs triples=$n8")
-    println(f"[scaling] build   local[8]=$t8%.1fs ($thr8%.1f docs/s)  local[32]=$t32%.1fs ($thr32%.1f docs/s)  speedup=$engineSpeedup%.2fx")
-    println(f"[scaling] hw-cal  local[8]=$c8%.1fs  local[32]=$c32%.1fs  achievable speedup=$hwSpeedup%.2fx (nominal 4.00x)")
+    println(s"[scaling] docs=$nDocs triples=$n8 rounds=$rounds (best-of)")
+    println(f"[scaling] build   local[8]=$bestT8%.1fs ($thr8%.1f docs/s)  local[32]=$bestT32%.1fs ($thr32%.1f docs/s)  speedup=$engineSpeedup%.2fx")
+    println(f"[scaling] hw-cal  local[8]=$bestC8%.1fs  local[32]=$bestC32%.1fs  achievable speedup=$hwSpeedup%.2fx (nominal 4.00x)")
     println(f"[scaling] efficiency: raw=$effRaw%.2f  normalized-to-hardware=$effNorm%.2f")
     val line =
-      f"| $nDocs | local[8]: $t8%.1fs ($thr8%.1f docs/s) | local[32]: $t32%.1fs ($thr32%.1f docs/s) | $engineSpeedup%.2fx | $hwSpeedup%.2fx | $effRaw%.2f | $effNorm%.2f |"
+      f"| $nDocs | local[8]: $bestT8%.1fs ($thr8%.1f docs/s) | local[32]: $bestT32%.1fs ($thr32%.1f docs/s) | $engineSpeedup%.2fx | $hwSpeedup%.2fx | $effRaw%.2f | $effNorm%.2f |"
     println(line)
     out.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p), (line + "\n").getBytes,

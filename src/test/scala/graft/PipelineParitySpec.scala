@@ -80,6 +80,15 @@ class PipelineParitySpec extends SparkSpec {
     assert(hits.filter(col("score") <= 0.1).count() === 0)
   }
 
+  test("parity holds on an independent seed (different corpus draw)") {
+    val n = 150L
+    val seed = 20260816L
+    val r = BuildPipeline.run(Corpus.docs(spark, n, seed), new DeterministicExtractor)
+    val (p, rec) = BuildPipeline.parity(r.triples, Corpus.oracleTriples(spark, n, seed).toDF())
+    info(f"seed=$seed precision=$p%.4f recall=$rec%.4f")
+    assert(p >= 0.95 && rec >= 0.95)
+  }
+
   test("search enrichment (J8) resolves every hit to its graph row + parents") {
     val someName = result.nodes.filter(col("level") === 0)
       .orderBy(col("name")).select("name").first().getString(0)
