@@ -86,8 +86,38 @@ object Linker {
       .filter(tokenSetRatioCol(col("a"), col("b")) >= MatchThreshold)
   }
 
-  /** name → canonical mapping per doc:
-    * (doc_id, name_norm, canonical_norm, canonical). */
+  /** Per-occurrence mention contexts: (doc_id, chunk_id, name_norm,
+    * descs) — the per-chunk description text an ambiguous occurrence is
+    * re-ranked against (the "mention's description" of
+    * node_matcher.py:81-102). Same single-pass scan as [[uniqueNames]]. */
+  def mentionOccurrences(logs: Dataset[ExtractionLog]): DataFrame = {
+    def m(display: Column, description: Column) =
+      struct(display.as("display"), description.as("description"))
+    logs.toDF()
+      .select(col("doc_id"), col("chunk_id"), explode(concat(
+        transform(col("nodes"), n => m(n.getField("name"), n.getField("description"))),
+        transform(col("edges"), e => m(e.getField("source"), e.getField("relationship"))),
+        transform(col("edges"), e => m(e.getField("target"), e.getField("relationship"))),
+        transform(col("properties"),
+          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " ")))
+      )).as("mention"))
+      .select(col("doc_id"), col("chunk_id"),
+        lower(trim(col("mention.display"))).as("name_norm"),
+        col("mention.description").as("description"))
+      .filter(col("name_norm") =!= "")
+      .groupBy(col("doc_id"), col("chunk_id"), col("name_norm"))
+      .agg(array_join(array_sort(collect_set(col("description"))), " ").as("odescs"))
+  }
+
+  private val rerankUdf = udf((q: String, t: String) => TextFns.rerankScore(q, t))
+
+  /** name → canonical mapping:
+    * (doc_id, chunk_id, name_norm, canonical_norm, canonical).
+    * chunk_id = -1 rows are the doc-level default (one per unique name);
+    * chunk_id >= 0 rows are per-chunk overrides, emitted ONLY for members
+    * of ambiguous clusters (several maximal candidates), re-ranked against
+    * the occurrence's own chunk context — the reference's per-log
+    * assignment (node_matcher.py:199-296). */
   def canonicalMapping(logs: Dataset[ExtractionLog]): DataFrame = {
     val spark = logs.sparkSession
     import spark.implicits._
@@ -112,22 +142,52 @@ object Linker {
       .join(names, comps("key") === names("doc_id") && comps("v") === names("name_norm"))
       .select(col("doc_id"), col("component"), col("name_norm"), col("display"), col("descs"))
 
-    members.as[(String, String, String, String, String)]
+    val resolved = members.as[(String, String, String, String, String)]
       .groupByKey { case (doc, comp, _, _, _) => (doc, comp) }
       .flatMapGroups { (key: (String, String), rows: Iterator[(String, String, String, String, String)]) =>
         val doc = key._1
         val ms = rows.map { case (_, _, norm, display, descs) => (norm, display, descs) }.toVector
-        resolveCluster(ms).map { case (norm, canonNorm, canonDisplay) =>
-          (doc, norm, canonNorm, canonDisplay)
-        }
+        resolveCluster(ms).map(r => (doc, r.name_norm, r.canonical_norm, r.canonical, r.candidates))
       }
-      .toDF("doc_id", "name_norm", "canonical_norm", "canonical")
+      .toDF("doc_id", "name_norm", "canonical_norm", "canonical", "candidates")
+      .localCheckpoint(true)
+
+    val docLevel = resolved.select(
+      col("doc_id"), lit(-1).as("chunk_id"),
+      col("name_norm"), col("canonical_norm"), col("canonical"))
+
+    // per-chunk overrides for ambiguous members only: explode candidates,
+    // score each against the occurrence's chunk context, keep top-1
+    val ambiguous = resolved.filter(size(col("candidates")) > 1)
+      .select(col("doc_id"), col("name_norm"), explode(col("candidates")).as("c"))
+      .select(col("doc_id"), col("name_norm"),
+        col("c._1").as("cand_norm"), col("c._2").as("cand_display"), col("c._3").as("cand_descs"))
+    val occs = mentionOccurrences(logs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("chunk_id"), col("name_norm"))
+      .orderBy(col("score").desc, col("cand_norm").desc)
+    val overrides = occs.join(ambiguous, Seq("doc_id", "name_norm"))
+      .withColumn("score",
+        rerankUdf(col("odescs"), concat_ws(" ", col("cand_descs"), col("cand_norm"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_id"),
+        col("name_norm"), col("cand_norm").as("canonical_norm"), col("cand_display").as("canonical"))
+
+    docLevel.unionByName(overrides)
   }
 
+  /** A member's resolution: doc-level canonical plus, when the member was
+    * AMBIGUOUS (several maximal candidates), the candidate set — each with
+    * (norm, display, doc-gathered descs) — so occurrences can be
+    * re-assigned per chunk (the reference assigns per log:
+    * node_matcher.py:199-296, reranker cache per entity within a log). */
+  case class Resolution(name_norm: String, canonical_norm: String, canonical: String,
+                        candidates: Vector[(String, String, String)])
+
   /** Deterministic L7/L11 cluster resolution. Input members:
-    * (name_norm, display, descs); output (name_norm, canonical_norm,
-    * canonical_display). */
-  def resolveCluster(members: Vector[(String, String, String)]): Vector[(String, String, String)] = {
+    * (name_norm, display, descs). */
+  def resolveCluster(members: Vector[(String, String, String)]): Vector[Resolution] = {
     val tokSets: Map[String, Set[String]] =
       members.map { case (n, _, _) => n -> TextFns.normTokens(n).toSet }.toMap
     val display: Map[String, String] = members.map { case (n, d, _) => n -> d }.toMap
@@ -138,18 +198,22 @@ object Linker {
       !members.exists { case (m, _, _) => m != n && t.subsetOf(tokSets(m)) && t != tokSets(m) }
     }.sorted
     members.map { case (n, _, _) =>
-      val canon =
-        if (maximal.contains(n)) n
-        else if (maximal.size == 1) maximal.head
+      if (maximal.contains(n)) Resolution(n, n, display(n), Vector.empty)
+      else if (maximal.size == 1) Resolution(n, maximal.head, display(maximal.head), Vector.empty)
+      else {
+        // candidates: maximal names containing this mention's tokens;
+        // fall back to all maximal names when fuzzy-linked non-subsets
+        val subsetOfs = maximal.filter(m => tokSets(n).subsetOf(tokSets(m)))
+        val cands = if (subsetOfs.nonEmpty) subsetOfs else maximal
+        if (cands.size == 1) Resolution(n, cands.head, display(cands.head), Vector.empty)
         else {
-          // candidates: maximal names containing this mention's tokens;
-          // fall back to all maximal names when fuzzy-linked non-subsets
-          val subsetOfs = maximal.filter(m => tokSets(n).subsetOf(tokSets(m)))
-          val cands = if (subsetOfs.nonEmpty) subsetOfs else maximal
-          if (cands.size == 1) cands.head
-          else cands.maxBy(c => (TextFns.rerankScore(descs(n), descs(c) + " " + c), c))
+          // doc-level default: rerank against ALL gathered descriptions;
+          // per-chunk overrides re-score against the occurrence's own
+          // context downstream
+          val c = cands.maxBy(c => (TextFns.rerankScore(descs(n), descs(c) + " " + c), c))
+          Resolution(n, c, display(c), cands.map(m => (m, display(m), descs(m))))
         }
-      (n, canon, display(canon))
+      }
     }
   }
 }

@@ -41,13 +41,31 @@ object GraphTables {
   private val edgeIdUdf = udf((a: String, b: String, d: String) => Ids.edgeId(a, b, d))
   private val propIdUdf = udf((n: String, d: String) => Ids.propertyId(n, d))
 
+  /** Resolve a name column against the two-tier mapping: per-chunk
+    * override (ambiguous mentions only) wins over the doc-level default.
+    * Adds `<prefix>_canon_norm` / `<prefix>_canon` (null when the name is
+    * unknown to the mapping). Input df must carry doc_id + chunk_id. */
+  private def resolveNames(df: DataFrame, mapping: DataFrame,
+                           nameCol: String, prefix: String): DataFrame = {
+    val d = mapping.filter(col("chunk_id") === -1).select(
+      col("doc_id").as(s"${prefix}_dd"), col("name_norm").as(s"${prefix}_dn"),
+      col("canonical_norm").as(s"${prefix}_dcn"), col("canonical").as(s"${prefix}_dc"))
+    val c = mapping.filter(col("chunk_id") =!= -1).select(
+      col("doc_id").as(s"${prefix}_cd"), col("chunk_id").as(s"${prefix}_cc"),
+      col("name_norm").as(s"${prefix}_cn"),
+      col("canonical_norm").as(s"${prefix}_ccn"), col("canonical").as(s"${prefix}_ccan"))
+    df.join(d, df("doc_id") === col(s"${prefix}_dd") && df(nameCol) === col(s"${prefix}_dn"), "left")
+      .join(c, df("doc_id") === col(s"${prefix}_cd") && df("chunk_id") === col(s"${prefix}_cc") &&
+        df(nameCol) === col(s"${prefix}_cn"), "left")
+      .withColumn(s"${prefix}_canon_norm", coalesce(col(s"${prefix}_ccn"), col(s"${prefix}_dcn")))
+      .withColumn(s"${prefix}_canon", coalesce(col(s"${prefix}_ccan"), col(s"${prefix}_dc")))
+      .drop(s"${prefix}_dd", s"${prefix}_dn", s"${prefix}_dcn", s"${prefix}_dc",
+        s"${prefix}_cd", s"${prefix}_cc", s"${prefix}_cn", s"${prefix}_ccn", s"${prefix}_ccan")
+  }
+
   def build(logs: Dataset[ExtractionLog], mapping: DataFrame): Materialized = {
     val spark = logs.sparkSession
     import spark.implicits._
-
-    val map = mapping.select(
-      col("doc_id").as("m_doc"), col("name_norm").as("m_name"),
-      col("canonical_norm"), col("canonical"))
 
     // ---- node mentions → nodes ---------------------------------------
     val mentions = logs
@@ -57,11 +75,10 @@ object GraphTables {
         lower(trim(col("n.name"))).as("name_norm"),
         col("n.description").as("description"),
         (col("is_visual") && col("mv") === lower(trim(col("n.name")))).as("viz"))
-    val mentionsCanon = mentions
-      .join(map, mentions("doc_id") === col("m_doc") && mentions("name_norm") === col("m_name"), "left")
+    val mentionsCanon = resolveNames(mentions, mapping, "name_norm", "m")
       .select(col("doc_id"), col("chunk_id"),
-        coalesce(col("canonical_norm"), col("name_norm")).as("canonical_norm"),
-        coalesce(col("canonical"), col("name_norm")).as("canonical"),
+        coalesce(col("m_canon_norm"), col("name_norm")).as("canonical_norm"),
+        coalesce(col("m_canon"), col("name_norm")).as("canonical"),
         col("description"), col("viz"))
 
     val nodes = mentionsCanon
@@ -96,15 +113,13 @@ object GraphTables {
         col("e.relationship").as("relationship"),
         lower(trim(col("e.source"))).as("src_norm"), lower(trim(col("e.target"))).as("dst_norm"))
 
-    val srcMap = map.select(col("m_doc").as("s_doc"), col("m_name").as("s_name"),
-      col("canonical_norm").as("src_canon_norm"), col("canonical").as("src_canon"))
-    val dstMap = map.select(col("m_doc").as("d_doc"), col("m_name").as("d_name"),
-      col("canonical_norm").as("dst_canon_norm"), col("canonical").as("dst_canon"))
-
     // materialized once: dropped/triples/edges all branch from this join
-    val resolved = edgeMentions
-      .join(srcMap, col("doc_id") === col("s_doc") && col("src_norm") === col("s_name"), "left")
-      .join(dstMap, col("doc_id") === col("d_doc") && col("dst_norm") === col("d_name"), "left")
+    val resolved = resolveNames(
+        resolveNames(edgeMentions, mapping, "src_norm", "s"), mapping, "dst_norm", "d")
+      .withColumnRenamed("s_canon_norm", "src_canon_norm")
+      .withColumnRenamed("s_canon", "src_canon")
+      .withColumnRenamed("d_canon_norm", "dst_canon_norm")
+      .withColumnRenamed("d_canon", "dst_canon")
       .localCheckpoint(true)
 
     val droppedEdges = resolved
@@ -153,11 +168,9 @@ object GraphTables {
       .select(col("doc_id"), col("chunk_id"),
         lower(trim(col("p.entity_name"))).as("owner_raw"),
         explode(col("p.properties")).as("prop_desc"))
-    val ownerMap = map.select(col("m_doc").as("o_doc"), col("m_name").as("o_name"),
-      col("canonical_norm").as("owner_norm"))
-    val propsCanon = propMentions
-      .join(ownerMap, col("doc_id") === col("o_doc") && col("owner_raw") === col("o_name"), "inner")
-      .select(col("doc_id"), col("chunk_id"), col("owner_norm"), col("prop_desc"))
+    val propsCanon = resolveNames(propMentions, mapping, "owner_raw", "o")
+      .filter(col("o_canon_norm").isNotNull) // J2: unknown owners are dropped
+      .select(col("doc_id"), col("chunk_id"), col("o_canon_norm").as("owner_norm"), col("prop_desc"))
       .union(selfLoops)
 
     val ownerNodes = nodeKeys.select(col("nk_doc").as("on_doc"), col("nk_name").as("on_name"), col("node_id"))

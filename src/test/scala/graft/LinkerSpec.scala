@@ -27,12 +27,17 @@ class LinkerSpec extends SparkSpec {
       ("lennart timmermans", "Lennart Timmermans", "lennart timmermans works on search infrastructure"),
       ("patrick timmermans", "Patrick Timmermans", "patrick timmermans leads the finance team"),
       ("timmermans", "Timmermans", "timmermans works on search infrastructure"))
-    val canon = Linker.resolveCluster(members).map { case (n, c, _) => n -> c }.toMap
+    val res = Linker.resolveCluster(members)
+    val canon = res.map(r => r.name_norm -> r.canonical_norm).toMap
     assert(canon("lennart") === "lennart timmermans")
     assert(canon("lennart timmermans") === "lennart timmermans")
     assert(canon("patrick timmermans") === "patrick timmermans")
     // ambiguous "timmermans": context mentions search infra -> Lennart
     assert(canon("timmermans") === "lennart timmermans")
+    // and only the ambiguous member carries the candidate set
+    assert(res.find(_.name_norm == "timmermans").get.candidates.map(_._1).sorted ===
+      Vector("lennart timmermans", "patrick timmermans"))
+    assert(res.filter(_.name_norm != "timmermans").forall(_.candidates.isEmpty))
   }
 
   test("single-maximal cluster maps every alias to it") {
@@ -40,7 +45,7 @@ class LinkerSpec extends SparkSpec {
       ("dr elena vasquez", "Dr Elena Vasquez", "d1"),
       ("elena vasquez", "Elena Vasquez", "d2"),
       ("vasquez", "Vasquez", "d3"))
-    val canon = Linker.resolveCluster(members).map { case (n, c, _) => n -> c }.toMap
+    val canon = Linker.resolveCluster(members).map(r => r.name_norm -> r.canonical_norm).toMap
     assert(canon.values.toSet === Set("dr elena vasquez"))
   }
 

@@ -65,9 +65,9 @@ class MaterializeSpec extends SparkSpec {
       nodes = Seq(NodeExt("known", "desc")),
       edges = Seq(EdgeExt("known", "ghost entity", "mentions")),
       properties = Seq(), main_visual_entity = "")))
-    // mapping that only knows "known"
-    val mapping = Seq(("d1", "known", "known", "known"))
-      .toDF("doc_id", "name_norm", "canonical_norm", "canonical")
+    // mapping that only knows "known" (chunk_id -1 = doc-level row)
+    val mapping = Seq(("d1", -1, "known", "known", "known"))
+      .toDF("doc_id", "chunk_id", "name_norm", "canonical_norm", "canonical")
     val m = GraphTables.build(ds, mapping)
     assert(m.edges.count() === 0)
     assert(m.droppedEdges.count() === 1)
@@ -87,6 +87,37 @@ class MaterializeSpec extends SparkSpec {
     assert(edges.head.metadata.length === 2)
     // triples stay directional
     assert(m.triples.count() === 2)
+  }
+
+  test("ambiguous bare mention resolves PER CHUNK by its own context (node_matcher.py:199-296)") {
+    // one doc, two Timmermans; chunk 2 and 3 each mention bare "Timmermans"
+    // in different contexts — assignments must differ per chunk
+    val ds = spark.createDataset(Seq(
+      ExtractionLog("d1", 0, is_visual = false,
+        nodes = Seq(NodeExt("Lennart Timmermans", "lennart timmermans works on search infrastructure")),
+        edges = Seq(), properties = Seq(), main_visual_entity = ""),
+      ExtractionLog("d1", 1, is_visual = false,
+        nodes = Seq(NodeExt("Patrick Timmermans", "patrick timmermans leads the finance team")),
+        edges = Seq(), properties = Seq(), main_visual_entity = ""),
+      ExtractionLog("d1", 2, is_visual = false,
+        nodes = Seq(NodeExt("Timmermans", "timmermans works on search infrastructure"), NodeExt("Acme", "a firm")),
+        edges = Seq(EdgeExt("Timmermans", "Acme", "advises")), properties = Seq(), main_visual_entity = ""),
+      ExtractionLog("d1", 3, is_visual = false,
+        nodes = Seq(NodeExt("Timmermans", "timmermans leads the finance team"), NodeExt("Acme", "a firm")),
+        edges = Seq(EdgeExt("Acme", "Timmermans", "employs")), properties = Seq(), main_visual_entity = "")))
+    val mapping = Linker.canonicalMapping(ds)
+    // chunk-level override rows exist for the ambiguous bare mention
+    val overrides = mapping.filter(col("chunk_id") >= 0 && col("name_norm") === "timmermans")
+      .collect().map(r => r.getAs[Int]("chunk_id") -> r.getAs[String]("canonical_norm")).toMap
+    assert(overrides(2) === "lennart timmermans")
+    assert(overrides(3) === "patrick timmermans")
+    // and the triples carry the per-chunk canonicals
+    val m = GraphTables.build(ds, mapping)
+    val trip = m.triples.collect()
+      .map(r => (r.getAs[String]("subj"), r.getAs[String]("pred"), r.getAs[String]("obj"))).toSet
+    assert(trip === Set(
+      ("Lennart Timmermans", "advises", "Acme"),
+      ("Acme", "employs", "Patrick Timmermans")))
   }
 
   test("visual main entity marks the node is_visual") {
