@@ -16,8 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object SearchIndex {
 
-  val embedUdf = udf((s: String) => TextFns.embed(s))
-
   def build(nodes: DataFrame, edges: DataFrame, properties: DataFrame): DataFrame = {
     val docIdOf = element_at(col("metadata"), 1).getField("document_id")
 
@@ -46,6 +44,6 @@ object SearchIndex {
         docIdOf.as("document_id"))
 
     nodeRows.union(edgeRows).union(propRows)
-      .withColumn("embedding", embedUdf(col("text")))
+      .withColumn("embedding", graft.functions.EmbedText(col("text")))
   }
 }

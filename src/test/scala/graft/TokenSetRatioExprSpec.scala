@@ -30,6 +30,14 @@ class TokenSetRatioExprSpec extends SparkSpec {
     assert(rs.forall(_.isNullAt(0)))
   }
 
+  test("EmbedText expression equals TextFns.embed (codegen path, no boxing)") {
+    val texts = Seq("alpha beta gamma", "", "Vertex Analytics Group", "the of and")
+    val df = (1 to 50).flatMap(_ => texts).toDF("t")
+    val got = df.select(col("t"), graft.functions.EmbedText(col("t")).as("v"))
+      .collect().map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+    got.foreach { case (t, v) => assert(v.toSeq === TextFns.embed(t).toSeq, t) }
+  }
+
   test("SQL registration via function registry / extensions builder") {
     TokenSetRatio.register(spark)
     val r = spark.sql(
