@@ -69,16 +69,21 @@ object Dedup {
                       k: Int = 3, numPerm: Int = 16, bands: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
     val rows = numPerm / bands
-    val sig = df.select(col(idCol).as("id"), col(textCol).as("text"),
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sig = df.select(col(idCol).as("id"),
       minhashUdf(col(textCol), lit(k), lit(numPerm)).as("sig"))
-    // band value = hash of its slice of the signature
-    val withBands = sig.select(col("id"), col("text"),
+    // band value = hash of its slice of the signature; candidates carry only
+    // (band, bh, id) — texts rejoin after the pair-distinct, so the heavy
+    // payload never rides the candidate shuffle
+    val withBands = sig.select(col("id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, hash(slice(sig, b*$rows+1, $rows)) as bh))")).as("bb"))
-      .select(col("id"), col("text"), col("bb.band"), col("bb.bh"))
-    val l = withBands.select(col("band"), col("bh"), col("id").as("ida"), col("text").as("ta"))
-    val r = withBands.select(col("band").as("band2"), col("bh").as("bh2"), col("id").as("idb"), col("text").as("tb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val l = withBands.select(col("band"), col("bh"), col("id").as("ida"))
+    val r = withBands.select(col("band").as("band2"), col("bh").as("bh2"), col("id").as("idb"))
     val cands = l.join(r, col("band") === col("band2") && col("bh") === col("bh2") && col("ida") < col("idb"))
-      .select("ida", "idb", "ta", "tb").distinct()
+      .select("ida", "idb").distinct()
+      .join(txt.select(col("id").as("ida"), col("text").as("ta")), Seq("ida"))
+      .join(txt.select(col("id").as("idb"), col("text").as("tb")), Seq("idb"))
     val jacc = udf((a: String, b: String) => {
       val sa = TextFns.shingles(a, k).toSet
       val sb = TextFns.shingles(b, k).toSet
@@ -118,13 +123,23 @@ object Dedup {
     * Output: (id, group, keep). Singleton docs keep themselves. */
   def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     import graft.link.ConnectedComponents
-    val vertices = df.select(lit("g").as("key"), col(idCol).cast("string").as("v"))
-    val edges = pairs.select(lit("g").as("key"),
-      col("ida").cast("string").as("a"), col("idb").cast("string").as("b"))
-    ConnectedComponents.run(vertices, edges)
-      .select(col("v").as("id"), col("component").as("group"))
-      .withColumn("keep", col("id") === min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
+    // materialize the pair stage ONCE (it is typically the output of an
+    // expensive LSH pipeline) so CC iterations never recompute it
+    val p = pairs.select(col("ida").cast("string").as("a"),
+      col("idb").cast("string").as("b")).localCheckpoint(true)
+    // iterate only over vertices that occur in a pair — the near-dup graph
+    // is a vanishing fraction of the corpus, so the label-propagation
+    // rounds never shuffle the full id set
+    val touched = p.select(col("a").as("v")).union(p.select(col("b").as("v"))).distinct()
+    val comp = ConnectedComponents.run(
+      touched.select(lit("g").as("key"), col("v")),
+      p.select(lit("g").as("key"), col("a"), col("b")))
+    // component label = lexicographic min member (min-label fixpoint), so
+    // keep == (id == group) — no window shuffle; singletons keep themselves
+    df.select(col(idCol).cast("string").as("id"))
+      .join(comp.select(col("v").as("id"), col("component")), Seq("id"), "left")
+      .withColumn("group", coalesce(col("component"), col("id")))
+      .select(col("id"), col("group"), (col("id") === col("group")).as("keep"))
   }
 
   /** Embedding-cosine near-dup pairs via multi-table random-hyperplane LSH
@@ -136,15 +151,20 @@ object Dedup {
                            threshold: Double = 0.95, tables: Int = 4,
                            bits: Int = 8, dim: Int = 64, seed: Long = 7L): DataFrame = {
     val codes = Similarity.codesUdf(tables, bits, dim, seed)
-    val coded = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("codes", codes(col("v")))
-    val l = coded.select(col("id").as("ida"), col("v").as("va"),
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val coded = vecs.withColumn("codes", codes(col("v")))
+    // candidate generation and dedup carry ONLY (cell, id): the distinct
+    // shuffle moves id pairs, not 2x full float vectors (the payloads are
+    // rejoined once, per side, for exact verification)
+    val l = coded.select(col("id").as("ida"),
       explode(Similarity.cellsUdf(tables)(col("codes"))).as("cell"))
-    val r = coded.select(col("id").as("idb"), col("v").as("vb"),
+    val r = coded.select(col("id").as("idb"),
       explode(Similarity.probesUdf(tables, bits)(col("codes"))).as("cell"))
     val cos = udf((a: Seq[Float], b: Seq[Float]) => TextFns.cosine(a.toArray, b.toArray))
     l.join(r, l("cell") === r("cell") && col("ida") < col("idb"))
-      .select("ida", "idb", "va", "vb").distinct()
+      .select("ida", "idb").distinct()
+      .join(vecs.select(col("id").as("ida"), col("v").as("va")), Seq("ida"))
+      .join(vecs.select(col("id").as("idb"), col("v").as("vb")), Seq("idb"))
       .withColumn("cosine", round(cos(col("va"), col("vb")), 4))
       .filter(col("cosine") >= threshold)
       .select("ida", "idb", "cosine")

@@ -76,59 +76,76 @@ object Similarity {
     udf((codes: Seq[Int]) =>
       codes.zipWithIndex.map { case (c, t) => t.toLong * 65536L + c }.toArray)
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer trained with a few
-    * distributed Lloyd iterations (assignment is a narrow map against the
-    * broadcast centroid table; the update step is a posexplode +
-    * per-(cluster, dim) average — pure DataFrame aggregation, no driver
-    * loops over vectors). Corpus rows are bucketed by nearest centroid;
-    * each query probes its `nProbe` nearest lists and scores exact cosine
-    * only inside them. At 100 TB the corpus assignment is one pass and the
-    * probe join touches nProbe/nLists of the data. */
+  /** IVF (inverted-file) ANN: k-means coarse quantizer trained ON A BOUNDED
+    * DETERMINISTIC SAMPLE (hash-threshold filter, one narrow pass over the
+    * corpus, ~`maxTrainSample` rows collected; Lloyd runs driver-local over
+    * that sample — nLists centroids never need the full corpus). The only
+    * full-corpus work is the single final assignment pass against the
+    * broadcast centroids; each query probes its `nProbe` nearest lists and
+    * scores exact cosine only inside them. At 100 TB: one sample scan + one
+    * assignment scan; the probe join touches nProbe/nLists of the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4, iterations: Int = 3,
-              seed: Long = 7L): DataFrame = {
+              seed: Long = 7L, maxTrainSample: Int = 4096): DataFrame = {
     val c = corpus.select(col("id"), col("vec").as("cv"))
 
-    // init: deterministic hash-sample of nLists corpus vectors
-    var centroids: Array[Array[Float]] = c
-      .withColumn("h", abs(hash(col("id"), lit(seed))))
-      .orderBy(col("h").asc, col("id").asc)
-      .limit(nLists)
-      .select(col("cv")).collect()
-      .map(_.getAs[Seq[Float]](0).toArray)
+    // bounded deterministic sample: keep rows whose uniform 63-bit hash
+    // falls under frac * Long.MaxValue (expected ~maxTrainSample rows).
+    // The count is a narrow single-column scan; the sample is sorted by id
+    // driver-side so the trainer is order-independent of partitioning.
+    val n = math.max(c.count(), 1L)
+    val frac = math.min(1.0, maxTrainSample.toDouble / n)
+    val bound = (frac * Long.MaxValue).toLong
+    val sample: Array[(String, Array[Float])] = c
+      .where(abs(xxhash64(col("id").cast("string"), lit(seed))) <= lit(bound))
+      .select(col("id").cast("string"), col("cv")).collect()
+      .map(r => (r.getString(0), r.getAs[Seq[Float]](1).toArray))
+      .sortBy(_._1)
+    val train = sample.map(_._2)
 
-    def nearestUdf(cents: Array[Array[Float]], n: Int) =
+    // driver-local Lloyd over <= ~maxTrainSample vectors (cosine distance);
+    // empty clusters keep their previous centroid. Fewer sample rows than
+    // nLists simply trains fewer lists.
+    var centroids: Array[Array[Float]] = train.take(nLists)
+    var it = 0
+    while (it < iterations && train.nonEmpty) {
+      val sums = Array.fill(centroids.length)(new Array[Double](train.head.length))
+      val counts = new Array[Long](centroids.length)
+      train.foreach { v =>
+        var best = 0; var bestCos = Double.MinValue
+        var i = 0
+        while (i < centroids.length) {
+          val cs = TextFns.cosine(centroids(i), v)
+          if (cs > bestCos) { bestCos = cs; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < v.length) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else sums(i).map(x => (x / counts(i)).toFloat)
+      }.toArray
+      it += 1
+    }
+
+    def nearestUdf(cents: Array[Array[Float]], nn: Int) =
       udf((v: Seq[Float]) => {
         val a = v.toArray
         cents.zipWithIndex
           .map { case (ct, i) => (1.0 - TextFns.cosine(ct, a), i) }
-          .sortBy(identity).take(n).map(_._2)
+          .sortBy(identity).take(nn).map(_._2)
       })
-
-    var it = 0
-    while (it < iterations) {
-      val cents = centroids
-      val assigned = c.withColumn("cluster", nearestUdf(cents, 1)(col("cv"))(0))
-      val means = assigned
-        .select(col("cluster"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("cluster"), col("ps.m").as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getAs[Seq[Double]](1).map(_.toFloat).toArray)
-        .toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
-      it += 1
-    }
 
     val cents = centroids
     val bucketed = c.withColumn("cluster", nearestUdf(cents, 1)(col("cv"))(0))
     val probed = queries.select(col("id").as("qid"), col("vec").as("qv"))
       .withColumn("cluster", explode(nearestUdf(cents, nProbe)(col("qv"))))
+    // each corpus row lives in exactly one list, so (qid, id) pairs are
+    // already unique — no candidate distinct needed
     val scored = bucketed.join(broadcast(probed), Seq("cluster"))
       .filter(col("id") =!= col("qid"))
-      .select("qid", "id", "qv", "cv").distinct()
       .withColumn("cosine", round(cosUdf(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -142,13 +159,19 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, bits: Int = 6, dim: Int = 64, seed: Long = 7L): DataFrame = {
     val codes = codesUdf(tables, bits, dim, seed)
-    val c = corpus.select(col("id"), col("vec").as("cv"))
+    val vecs = corpus.select(col("id"), col("vec").as("cv"))
+    val c = vecs
       .withColumn("cell", explode(cellsUdf(tables)(codes(col("cv")))))
+      .select("id", "cell")
     val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
       .withColumn("cell", explode(probesUdf(tables, bits)(codes(col("qv")))))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    // candidate dedup on bare (qid, id) pairs — the corpus vector rejoins
+    // once after the distinct, the (small) query side broadcasts back in
+    val scored = c.join(broadcast(q.select(col("qid"), col("cell"))), Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .select("qid", "id", "qv", "cv").distinct()
+      .select("qid", "id").distinct()
+      .join(vecs, Seq("id"))
+      .join(broadcast(q.select(col("qid"), col("qv")).dropDuplicates("qid")), Seq("qid"))
       .withColumn("cosine", round(cosUdf(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
