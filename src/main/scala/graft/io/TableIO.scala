@@ -13,6 +13,13 @@ trait TableIO extends Serializable {
   def write(df: DataFrame, table: String): Unit
   def append(df: DataFrame, table: String): Unit
   def exists(spark: SparkSession, table: String): Boolean
+
+  /** Idempotent micro-batch append: replaying batch `batchId` (after a
+    * crash between per-table appends) overwrites exactly its own rows
+    * instead of duplicating them — the table is partitioned by `_batch_id`
+    * and the write is a dynamic partition overwrite, so re-running a batch
+    * is a no-op at the table layer. */
+  def appendBatch(df: DataFrame, table: String, batchId: Long): Unit
 }
 
 class ParquetTableIO(base: String) extends TableIO {
@@ -27,6 +34,12 @@ class ParquetTableIO(base: String) extends TableIO {
     val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+  override def appendBatch(df: DataFrame, table: String, batchId: Long): Unit =
+    df.withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(path(table))
 }
 
 /** When an Iceberg catalog is on the session, the same contract routes
@@ -41,6 +54,14 @@ class CatalogTableIO(db: String) extends TableIO {
     df.writeTo(name(table)).append()
   override def exists(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(name(table))
+  override def appendBatch(df: DataFrame, table: String, batchId: Long): Unit = {
+    val stamped = df.withColumn("_batch_id", org.apache.spark.sql.functions.lit(batchId))
+    if (!exists(stamped.sparkSession, table))
+      stamped.writeTo(name(table))
+        .partitionedBy(org.apache.spark.sql.functions.col("_batch_id"))
+        .createOrReplace()
+    else stamped.writeTo(name(table)).overwritePartitions()
+  }
 }
 
 /** Per-stage checkpoint + lineage/metrics (replaces the reference's mutable

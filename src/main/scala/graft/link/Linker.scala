@@ -38,6 +38,13 @@ object Linker {
   private def tokenSetRatioCol(a: Column, b: Column): Column =
     graft.functions.TokenSetRatio(a, b)
 
+  /** `concat` returns NULL if ANY input array is null — which would silently
+    * drop every mention of a log row with e.g. a null `properties` column
+    * (possible for externally persisted ExtractionLog tables). Degrade a
+    * null array to empty instead. */
+  private def nn(mentions: Column): Column =
+    coalesce(mentions, array().cast("array<struct<display:string,description:string>>"))
+
   /** Unique normalized names per doc with a deterministic display form and
     * the gathered descriptions of the mentions (A6: used for ambiguous
     * assignment). */
@@ -50,11 +57,11 @@ object Linker {
       struct(display.as("display"), description.as("description"))
     logs.toDF()
       .select(col("doc_id"), explode(concat(
-        transform(col("nodes"), n => m(n.getField("name"), n.getField("description"))),
-        transform(col("edges"), e => m(e.getField("source"), e.getField("relationship"))),
-        transform(col("edges"), e => m(e.getField("target"), e.getField("relationship"))),
-        transform(col("properties"),
-          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " ")))
+        nn(transform(col("nodes"), n => m(n.getField("name"), n.getField("description")))),
+        nn(transform(col("edges"), e => m(e.getField("source"), e.getField("relationship")))),
+        nn(transform(col("edges"), e => m(e.getField("target"), e.getField("relationship")))),
+        nn(transform(col("properties"),
+          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " "))))
       )).as("mention"))
       .select(col("doc_id"),
         col("mention.display").as("display"),
@@ -95,11 +102,11 @@ object Linker {
       struct(display.as("display"), description.as("description"))
     logs.toDF()
       .select(col("doc_id"), col("chunk_id"), explode(concat(
-        transform(col("nodes"), n => m(n.getField("name"), n.getField("description"))),
-        transform(col("edges"), e => m(e.getField("source"), e.getField("relationship"))),
-        transform(col("edges"), e => m(e.getField("target"), e.getField("relationship"))),
-        transform(col("properties"),
-          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " ")))
+        nn(transform(col("nodes"), n => m(n.getField("name"), n.getField("description")))),
+        nn(transform(col("edges"), e => m(e.getField("source"), e.getField("relationship")))),
+        nn(transform(col("edges"), e => m(e.getField("target"), e.getField("relationship")))),
+        nn(transform(col("properties"),
+          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " "))))
       )).as("mention"))
       .select(col("doc_id"), col("chunk_id"),
         lower(trim(col("mention.display"))).as("name_norm"),

@@ -28,12 +28,14 @@ object GraphOps {
       .agg(count(lit(1)).as("value"))
       .select(lit("nodes_at_level").as("section"),
         col("level").cast("string").as("key"), col("value"))
-    val totals = nodes.select(lit("total").as("section"), lit("nodes").as("key"))
-      .groupBy("section", "key").agg(count(lit(1)).as("value"))
-      .unionByName(edges.select(lit("total").as("section"), lit("edges").as("key"))
-        .groupBy("section", "key").agg(count(lit(1)).as("value")))
-      .unionByName(properties.select(lit("total").as("section"), lit("properties").as("key"))
-        .groupBy("section", "key").agg(count(lit(1)).as("value")))
+    // global aggregates (not literal groupBys) so an empty table still
+    // yields its total=0 row
+    def total(df: DataFrame, key: String) =
+      df.agg(count(lit(1)).as("value"))
+        .select(lit("total").as("section"), lit(key).as("key"), col("value"))
+    val totals = total(nodes, "nodes")
+      .unionByName(total(edges, "edges"))
+      .unionByName(total(properties, "properties"))
     val degree = edges.select(explode(array(col("frm"), col("to"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("value"))
     val topNodes = nodes.filter(col("level") === 0)
@@ -44,9 +46,10 @@ object GraphOps {
     totals.unionByName(levelCounts).unionByName(topNodes)
   }
 
-  /** Q7 — max level present in the graph. */
+  /** Q7 — max level present in the graph; -1 for an empty graph (max over
+    * zero rows is NULL, which would NPE an unguarded getInt). */
   def maxLevel(nodes: DataFrame): Int =
-    nodes.agg(max(col("level"))).head().getInt(0)
+    nodes.agg(coalesce(max(col("level")), lit(-1))).head().getInt(0)
 
   /** Q8 — all nodes at a level (partition-prunable when the nodes table is
     * partitioned by level, which [[graft.app.BuildMain]] does). */
@@ -111,10 +114,21 @@ object GraphOps {
     * changed payloads — all equi-joins on the id, broadcast when one
     * side is small, AQE otherwise. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String): DataFrame = {
+    // to_json does not canonicalize map key order, so semantically equal
+    // rows could hash differently and emit spurious updates — replace every
+    // MapType column with its key-sorted entry array before hashing
+    def canonical(df: DataFrame): Seq[org.apache.spark.sql.Column] =
+      df.schema.fields.sortBy(_.name).map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.MapType =>
+            array_sort(map_entries(col(f.name))).as(f.name)
+          case _ => col(f.name)
+        }
+      }.toSeq
     val o = oldSnap.select(col(idCol).as("id"),
-      sha2(to_json(struct(oldSnap.columns.sorted.map(col): _*)), 256).as("old_hash"))
+      sha2(to_json(struct(canonical(oldSnap): _*)), 256).as("old_hash"))
     val n = newSnap.select(col(idCol).as("id"),
-      sha2(to_json(struct(newSnap.columns.sorted.map(col): _*)), 256).as("new_hash"))
+      sha2(to_json(struct(canonical(newSnap): _*)), 256).as("new_hash"))
     val created = n.join(o, Seq("id"), "left_anti").select(col("id"), lit("create").as("action"))
     val deleted = o.join(n, Seq("id"), "left_anti").select(col("id"), lit("delete").as("action"))
     val updated = n.join(o, Seq("id"))

@@ -22,9 +22,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     writes, and the union of per-batch outputs equals the one-shot
   *     batch build of the same documents (asserted by StreamingSpec);
   *   - exactly-once per document comes from the file source's offset log +
-  *     deterministic ids (re-processing a batch after a crash rewrites the
-  *     same rows; an idempotent sink — Iceberg MERGE on id — makes that a
-  *     no-op at the table layer).
+  *     deterministic ids + an idempotent sink: tables are partitioned by
+  *     `_batch_id` and each batch write is a dynamic partition overwrite
+  *     of its own partition ([[TableIO.appendBatch]]), so a replayed batch
+  *     rewrites the same rows instead of duplicating them — even when the
+  *     crash landed between the six per-table writes.
   *
   * Corpus-global layers that DO cross documents (GlobalCatalog, search
   * over the full index) read the appended tables on their own cadence —
@@ -62,14 +64,16 @@ object StreamingBuild {
       .start()
   }
 
+  /** Six per-table writes are not atomic as a group; a crash mid-batch
+    * replays the whole batch, so each write must be idempotent —
+    * `appendBatch` overwrites the batch's own `_batch_id` partition, making
+    * the replay a no-op for tables that already committed it. */
   private def append(io: TableIO, r: BuildPipeline.BuildResult, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions.lit
-    def stamp(df: DataFrame): DataFrame = df.withColumn("_batch_id", lit(batchId))
-    io.append(stamp(r.triples), "triples")
-    io.append(stamp(r.nodes), "nodes")
-    io.append(stamp(r.edges), "edges")
-    io.append(stamp(r.properties), "properties")
-    io.append(stamp(r.documents), "documents")
-    io.append(stamp(r.searchIndex), "search_index")
+    io.appendBatch(r.triples, "triples", batchId)
+    io.appendBatch(r.nodes, "nodes", batchId)
+    io.appendBatch(r.edges, "edges", batchId)
+    io.appendBatch(r.properties, "properties", batchId)
+    io.appendBatch(r.documents, "documents", batchId)
+    io.appendBatch(r.searchIndex, "search_index", batchId)
   }
 }

@@ -47,4 +47,26 @@ class StreamingSpec extends SparkSpec {
       .groupBy("doc_id").count().agg(max("count")).head().getLong(0)
     assert(batchesPerDoc === 1L)
   }
+
+  test("replayed micro-batch is a no-op: appendBatch overwrites its own partition") {
+    val base = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val io = new ParquetTableIO(base)
+    val docs = Corpus.docs(spark, 8)
+    val r = BuildPipeline.run(docs, new DeterministicExtractor)
+
+    io.appendBatch(r.triples, "triples", batchId = 0L)
+    val afterFirst = io.read(spark, "triples").count()
+    // crash-replay of the SAME batch (e.g. after a failure between the six
+    // per-table writes): must not duplicate rows
+    io.appendBatch(r.triples, "triples", batchId = 0L)
+    assert(io.read(spark, "triples").count() === afterFirst)
+
+    // a genuinely new batch still appends
+    io.appendBatch(r.triples, "triples", batchId = 1L)
+    assert(io.read(spark, "triples").count() === 2 * afterFirst)
+    // and replaying batch 1 leaves batch 0 untouched
+    io.appendBatch(r.triples, "triples", batchId = 1L)
+    assert(io.read(spark, "triples").count() === 2 * afterFirst)
+    assert(io.read(spark, "triples").select("_batch_id").distinct().count() === 2)
+  }
 }
