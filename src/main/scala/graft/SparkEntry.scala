@@ -106,6 +106,17 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
     }),
+    // tag stats (reference doc_tags counts): tags derived deterministically
+    // from document columns — every doc gets a lang tag, long docs also a
+    // long_doc tag, so the per-key counts differ
+    "q_tag_stats" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+        .withColumn("tags", map_concat(
+          map(lit("lang"), col("lang")),
+          when(col("n_chars") > 300, map(lit("long_doc"), lit("true")))
+            .otherwise(map().cast("map<string,string>"))))
+      graft.query.GraphOps.tagStats(docs.select(col("doc_id"), col("tags")))
+    }),
     "q_dedup_groups" -> ((s, d) => {
       s.read.parquet(t(d, "documents"))
         .groupBy(col("lang"))
@@ -193,6 +204,11 @@ object SparkEntry {
     // ----- KG pipeline stages (synthetic interleaved corpus; gated by the
     // ScalaTest parity suite — rows-only here) -------------------------------
     "kg_chunks" -> ((s, d) => kg(s, d).chunks),
+    // S1 TXT path: 1500/300 character-recursive splitter over the plain-text
+    // documents table (splitter semantics aren't SQL-expressible; gated by
+    // ChunkerSpec — rows-only here)
+    "kg_chunks_txt" -> ((s, d) =>
+      graft.build.Chunker.txtChunks(s.read.parquet(t(d, "documents"))).toDF()),
     "kg_logs" -> ((s, d) => kg(s, d).logs
       .select(col("doc_id"), col("chunk_id"), col("is_visual"),
         size(col("nodes")).as("n_nodes"), size(col("edges")).as("n_edges"),
@@ -272,6 +288,12 @@ object SparkEntry {
     "q_dedup_groups" ->
       """SELECT lang, count(*) AS n_docs, min(source) AS first_source,
         |  min(n_chars) AS min_chars FROM documents GROUP BY 1""".stripMargin,
+    "q_tag_stats" ->
+      """SELECT tag, count(*) AS n_docs FROM (
+        |  SELECT 'lang' AS tag FROM documents
+        |  UNION ALL
+        |  SELECT 'long_doc' AS tag FROM documents WHERE n_chars > 300
+        |) GROUP BY 1""".stripMargin,
     "q_exact_dedup" ->
       """SELECT doc_id AS id, md5(text) AS content_hash,
         |  count(*) OVER (PARTITION BY md5(text)) AS group_size,

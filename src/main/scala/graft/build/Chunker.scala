@@ -80,6 +80,28 @@ object Chunker {
     docs.flatMap(d => packDoc(d.doc_id, d.spans.iterator))
   }
 
+  /** S1 TXT path — per-doc character-recursive split (reference
+    * reader.py:156-186: strip, split 1500/300, filter, chunk_id = index in
+    * the PRE-filter enumeration, so filtered-out chunks leave id gaps
+    * exactly as the reference's `enumerate` + filter comprehension does). */
+  def chunkTxtDoc(docId: String, raw: String, chunkSize: Int = 1500,
+                  overlap: Int = 300): Iterator[Chunk] =
+    TextSplitter.split(Option(raw).getOrElse("").strip(), chunkSize, overlap)
+      .iterator.zipWithIndex
+      .collect { case (t, i) if keep(t) =>
+        Chunk(docId, i, t, TextFns.estimateTokens(t)) }
+
+  /** Spark stage for the TXT path: narrow flatMap over (doc_id, text)
+    * rows — zero shuffle, same scale shape as the span-packing path. */
+  def txtChunks(docs: org.apache.spark.sql.DataFrame, chunkSize: Int = 1500,
+                overlap: Int = 300): Dataset[Chunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .flatMap { case (id, t) => chunkTxtDoc(id, t, chunkSize, overlap) }
+  }
+
   /** Visual spans (tables + figures) routed to L5/L6 extraction. */
   def visualSpans(docs: Dataset[DocRow]): Dataset[(String, Span)] = {
     val spark = docs.sparkSession

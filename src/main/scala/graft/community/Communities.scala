@@ -30,6 +30,9 @@ import org.apache.spark.sql.functions._
   */
 object Communities {
 
+  /** Null visual provenance for synthesized level-1/2 rows (Meta.visual). */
+  private val VisualTpe = "struct<media_ref:string,page_num:int,visual_type:string>"
+
   case class CommunityLayer(
       nodesWithCommunity: DataFrame, // level-0 nodes with community_id filled
       communityNodes: DataFrame, // level-1 NodeRow-shaped
@@ -129,7 +132,8 @@ object Communities {
         lit(false).as("is_visual"),
         docNodeIdUdf(col("doc_id")).as("community_id"), // parent = doc node
         col("child_ids"),
-        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"))).as("metadata"),
+        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"),
+          lit(null).cast(VisualTpe).as("visual"))).as("metadata"),
         col("doc_id"))
 
     // --- findings: member properties → community properties (<=5) ---------
@@ -143,7 +147,8 @@ object Communities {
         propIdUdf(col("community_id"), col("description")).as("id"),
         col("community_id").as("node_id"),
         col("description"),
-        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"))).as("metadata"))
+        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"),
+          lit(null).cast(VisualTpe).as("visual"))).as("metadata"))
 
     // --- inter-community edges: one per crossing source edge --------------
     val mFrm = membership.select(col("node_id").as("frm"), col("community_id").as("comm_frm"))
@@ -172,7 +177,8 @@ object Communities {
         lit(false).as("is_visual"),
         lit("").as("community_id"),
         coalesce(col("child_ids"), array().cast("array<string>")).as("child_ids"),
-        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"))).as("metadata"),
+        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"),
+          lit(null).cast(VisualTpe).as("visual"))).as("metadata"),
         col("doc_id"))
 
     // --- keyword properties on the doc node --------------------------------
@@ -182,7 +188,8 @@ object Communities {
         propIdUdf(docNodeIdUdf(col("doc_id")), col("description")).as("id"),
         docNodeIdUdf(col("doc_id")).as("node_id"),
         col("description"),
-        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"))).as("metadata"))
+        array(struct(col("doc_id").as("document_id"), lit(-1).as("chunk_id"),
+          lit(null).cast(VisualTpe).as("visual"))).as("metadata"))
 
     CommunityLayer(
       nodesWithCommunity,

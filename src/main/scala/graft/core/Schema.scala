@@ -47,14 +47,25 @@ case class ExtractionLog(
     nodes: Seq[NodeExt],
     edges: Seq[EdgeExt],
     properties: Seq[PropertyExt],
-    main_visual_entity: String)
+    main_visual_entity: String,
+    media_ref: String = "",
+    visual_kind: String = "")
 
 /** The parity surface: directional triples as extracted
   * (reference EdgeExt semantics, build_log.py:18-23). */
 case class Triple(subj: String, pred: String, obj: String, doc_id: String, chunk_id: Int)
 
-/** Provenance struct (reference Metadata: persistence/metadata.py:25-41). */
-case class Meta(document_id: String, chunk_id: Int)
+/** Visual provenance (reference MetadataVisual: persistence/metadata.py:10-22
+  * — `save_location` becomes `media_ref`, `page_num` carries the source
+  * span's offset). The reference also inlines the visual's text `content`;
+  * we deliberately don't — at corpus scale that would copy the full
+  * table/figure text into every provenance entry, and it stays recoverable
+  * by joining `media_ref` back to the spans table. */
+case class MetaVisual(media_ref: String, page_num: Int, visual_type: String)
+
+/** Provenance struct (reference Metadata: persistence/metadata.py:25-41);
+  * `visual` is populated for table/figure-sourced mentions. */
+case class Meta(document_id: String, chunk_id: Int, visual: Option[MetaVisual] = None)
 
 /** Graph tables. Level semantics: 0 extracted, 1 community, 2 document
   * (reference graph/node.py:35-37, builder/build_pipeline.py:88-94,149-154). */

@@ -201,7 +201,9 @@ case class RawLog(
     chunk_text: String,
     nodes: Seq[NodeExt],
     edges: Seq[EdgeExt],
-    main_visual_entity: String)
+    main_visual_entity: String,
+    media_ref: String = "",
+    visual_kind: String = "")
 
 object Extract {
   import org.apache.spark.sql.Dataset
@@ -228,7 +230,8 @@ object Extract {
             val (n, e) = extractor.extractTable(span.text); (n, e, "")
           case _ => extractor.extractFigure(span.text)
         }
-        RawLog(docId, VisualChunkBase + span.offset, is_visual = true, span.text, ns, es, main)
+        RawLog(docId, VisualChunkBase + span.offset, is_visual = true, span.text, ns, es, main,
+          media_ref = span.media_ref, visual_kind = span.kind)
       }
     }
     fromChunks.union(fromVisuals)
@@ -243,7 +246,8 @@ object Extract {
         val props =
           if (r.is_visual) Seq.empty[PropertyExt]
           else extractor.extractProperties(r.chunk_text, r.nodes.map(_.name))
-        ExtractionLog(r.doc_id, r.chunk_id, r.is_visual, r.nodes, r.edges, props, r.main_visual_entity)
+        ExtractionLog(r.doc_id, r.chunk_id, r.is_visual, r.nodes, r.edges, props,
+          r.main_visual_entity, r.media_ref, r.visual_kind)
       }
     }
   }

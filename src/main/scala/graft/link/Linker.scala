@@ -42,8 +42,12 @@ object Linker {
     * drop every mention of a log row with e.g. a null `properties` column
     * (possible for externally persisted ExtractionLog tables). Degrade a
     * null array to empty instead. */
-  private def nn(mentions: Column): Column =
-    coalesce(mentions, array().cast("array<struct<display:string,description:string>>"))
+  private def nn(mentions: Column,
+                 tpe: String = "array<struct<display:string,description:string>>"): Column =
+    coalesce(mentions, array().cast(tpe))
+
+  private val MentionTpe3 =
+    "array<struct<display:string,description:string,is_prop:boolean>>"
 
   /** Unique normalized names per doc with a deterministic display form and
     * the gathered descriptions of the mentions (A6: used for ambiguous
@@ -53,25 +57,32 @@ object Linker {
     // edge sources, edge targets, property owners) are concatenated as
     // arrays inside the row before exploding, instead of a 4-way union
     // that re-reads the logs per branch
-    def m(display: Column, description: Column) =
-      struct(display.as("display"), description.as("description"))
+    def m(display: Column, description: Column, isProp: Boolean) =
+      struct(display.as("display"), description.as("description"),
+        lit(isProp).as("is_prop"))
     logs.toDF()
       .select(col("doc_id"), explode(concat(
-        nn(transform(col("nodes"), n => m(n.getField("name"), n.getField("description")))),
-        nn(transform(col("edges"), e => m(e.getField("source"), e.getField("relationship")))),
-        nn(transform(col("edges"), e => m(e.getField("target"), e.getField("relationship")))),
+        nn(transform(col("nodes"), n => m(n.getField("name"), n.getField("description"), isProp = false)), MentionTpe3),
+        nn(transform(col("edges"), e => m(e.getField("source"), e.getField("relationship"), isProp = false)), MentionTpe3),
+        nn(transform(col("edges"), e => m(e.getField("target"), e.getField("relationship"), isProp = false)), MentionTpe3),
         nn(transform(col("properties"),
-          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " "))))
+          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " "), isProp = true)), MentionTpe3)
       )).as("mention"))
       .select(col("doc_id"),
         col("mention.display").as("display"),
-        col("mention.description").as("description"))
+        col("mention.description").as("description"),
+        col("mention.is_prop").as("is_prop"))
       .withColumn("name_norm", lower(trim(col("display"))))
       .filter(col("name_norm") =!= "")
       .groupBy(col("doc_id"), col("name_norm"))
       .agg(
         min(col("display")).as("display"),
-        array_join(array_sort(collect_set(col("description"))), " ").as("descs"))
+        array_join(array_sort(collect_set(col("description"))), " ").as("descs"),
+        // type-split gatherings for A6 containment assignment (reference
+        // node_matcher.py:118-142: node/edge names match by containment,
+        // property owners by exact name)
+        array_join(array_sort(collect_set(when(!col("is_prop"), col("description")))), " ").as("ne_descs"),
+        array_join(array_sort(collect_set(when(col("is_prop"), col("description")))), " ").as("prop_descs"))
   }
 
   /** Candidate pairs via token blocking, scored with token_set_ratio.
@@ -159,16 +170,53 @@ object Linker {
       .toDF("doc_id", "name_norm", "canonical_norm", "canonical", "candidates")
       .localCheckpoint(true)
 
-    val docLevel = resolved.select(
-      col("doc_id"), lit(-1).as("chunk_id"),
-      col("name_norm"), col("canonical_norm"), col("canonical"))
+    // A6 — candidate context gathered by SUBSTRING CONTAINMENT across the
+    // doc's mention names (reference node_matcher.py:104-143: a candidate
+    // collects node/edge descriptions from every name that CONTAINS it,
+    // and property texts from its exact name). Doc-scoped equi-join with a
+    // containment post-filter: the candidate side is only the ambiguous
+    // maximal names, the name side is bounded per doc — no global theta-join.
+    val candNames = resolved.filter(size(col("candidates")) > 1)
+      .select(col("doc_id"), explode(col("candidates")).as("c"))
+      .select(col("doc_id"), col("c._1").as("cand_norm"))
+      .distinct()
+    val gathered = candNames.join(names, Seq("doc_id"))
+      .withColumn("piece", concat_ws(" ",
+        when(col("name_norm").contains(col("cand_norm")), col("ne_descs")),
+        when(col("name_norm") === col("cand_norm"), col("prop_descs"))))
+      .withColumn("piece", trim(col("piece")))
+      .filter(col("piece") =!= "")
+      .groupBy(col("doc_id"), col("cand_norm"))
+      .agg(array_join(array_sort(collect_set(col("piece"))), " ").as("cand_descs"))
 
-    // per-chunk overrides for ambiguous members only: explode candidates,
-    // score each against the occurrence's chunk context, keep top-1
+    // candidates with containment-gathered context (falls back to empty
+    // when nothing in the doc contains the candidate name)
     val ambiguous = resolved.filter(size(col("candidates")) > 1)
       .select(col("doc_id"), col("name_norm"), explode(col("candidates")).as("c"))
       .select(col("doc_id"), col("name_norm"),
-        col("c._1").as("cand_norm"), col("c._2").as("cand_display"), col("c._3").as("cand_descs"))
+        col("c._1").as("cand_norm"), col("c._2").as("cand_display"))
+      .join(gathered, Seq("doc_id", "cand_norm"), "left")
+      .withColumn("cand_descs", coalesce(col("cand_descs"), lit("")))
+
+    // doc-level default for ambiguous members: rerank the member's own
+    // gathered descriptions against each candidate's CONTAINMENT context
+    // (same scoring as the per-chunk overrides, doc-wide query side)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("name_norm"))
+      .orderBy(col("score").desc, col("cand_norm").desc)
+    val docAmbig = ambiguous
+      .join(names.select(col("doc_id"), col("name_norm"), col("descs")), Seq("doc_id", "name_norm"))
+      .withColumn("score",
+        rerankUdf(col("descs"), concat_ws(" ", col("cand_descs"), col("cand_norm"))))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), lit(-1).as("chunk_id"),
+        col("name_norm"), col("cand_norm").as("canonical_norm"), col("cand_display").as("canonical"))
+
+    val docLevel = resolved.filter(size(col("candidates")) <= 1).select(
+      col("doc_id"), lit(-1).as("chunk_id"),
+      col("name_norm"), col("canonical_norm"), col("canonical"))
+      .unionByName(docAmbig)
     val occs = mentionOccurrences(logs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("chunk_id"), col("name_norm"))

@@ -37,6 +37,18 @@ object GraphTables {
       triples: DataFrame, // (doc_id, subj, pred, obj) distinct, canonical
       droppedEdges: DataFrame) // (doc_id, chunk_id, source, target, relationship)
 
+  /** Provenance struct incl. visual origin (reference MetadataVisual,
+    * persistence/metadata.py:10-22): mentions sourced from a table/figure
+    * span carry (media_ref, page_num = span offset, visual_type); text
+    * mentions carry a null visual field. Requires `media_ref` /
+    * `visual_kind` columns in scope. */
+  private def metaStruct =
+    struct(col("doc_id").as("document_id"), col("chunk_id"),
+      when(col("media_ref") =!= "",
+        struct(col("media_ref"),
+          (col("chunk_id") - Extract.VisualChunkBase).as("page_num"),
+          col("visual_kind").as("visual_type"))).as("visual"))
+
   private val nodeIdUdf = udf((doc: String, nameNorm: String) => Ids.nodeId(doc, nameNorm, 0))
   private val edgeIdUdf = udf((a: String, b: String, d: String) => Ids.edgeId(a, b, d))
   private val propIdUdf = udf((n: String, d: String) => Ids.propertyId(n, d))
@@ -70,13 +82,14 @@ object GraphTables {
     // ---- node mentions → nodes ---------------------------------------
     val mentions = logs
       .select(col("doc_id"), col("chunk_id"), col("is_visual"),
+        col("media_ref"), col("visual_kind"),
         lower(trim(col("main_visual_entity"))).as("mv"), explode(col("nodes")).as("n"))
-      .select(col("doc_id"), col("chunk_id"),
+      .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
         lower(trim(col("n.name"))).as("name_norm"),
         col("n.description").as("description"),
         (col("is_visual") && col("mv") === lower(trim(col("n.name")))).as("viz"))
     val mentionsCanon = resolveNames(mentions, mapping, "name_norm", "m")
-      .select(col("doc_id"), col("chunk_id"),
+      .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
         coalesce(col("m_canon_norm"), col("name_norm")).as("canonical_norm"),
         coalesce(col("m_canon"), col("name_norm")).as("canonical"),
         col("description"), col("viz"))
@@ -87,7 +100,7 @@ object GraphTables {
         min(col("canonical")).as("name"),
         min(struct(col("chunk_id"), col("description"))).as("first_desc"),
         max(col("viz")).as("is_visual"),
-        array_sort(collect_set(struct(col("doc_id").as("document_id"), col("chunk_id")))).as("metadata"))
+        array_sort(collect_set(metaStruct)).as("metadata"))
       .select(
         nodeIdUdf(col("doc_id"), col("canonical_norm")).as("id"),
         col("name"),
@@ -107,8 +120,9 @@ object GraphTables {
 
     // ---- edge mentions: resolve endpoints, split self-loops ----------
     val edgeMentions = logs
-      .select(col("doc_id"), col("chunk_id"), explode(col("edges")).as("e"))
-      .select(col("doc_id"), col("chunk_id"),
+      .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
+        explode(col("edges")).as("e"))
+      .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
         col("e.source").as("source"), col("e.target").as("target"),
         col("e.relationship").as("relationship"),
         lower(trim(col("e.source"))).as("src_norm"), lower(trim(col("e.target"))).as("dst_norm"))
@@ -130,7 +144,7 @@ object GraphTables {
 
     // self-loops → properties (reference build_pipeline.py:286-291)
     val selfLoops = ok.filter(col("src_canon_norm") === col("dst_canon_norm"))
-      .select(col("doc_id"), col("chunk_id"),
+      .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
         col("src_canon_norm").as("owner_norm"), col("relationship").as("prop_desc"))
 
     val realEdges = ok.filter(col("src_canon_norm") =!= col("dst_canon_norm"))
@@ -154,7 +168,7 @@ object GraphTables {
       .groupBy(col("doc_id"), col("lo"), col("hi"), col("relationship"))
       .agg(
         min(struct(col("chunk_id"), col("frm_id"), col("to_id"))).as("first_dir"),
-        array_sort(collect_set(struct(col("doc_id").as("document_id"), col("chunk_id")))).as("metadata"))
+        array_sort(collect_set(metaStruct)).as("metadata"))
       .select(
         edgeIdUdf(col("lo"), col("hi"), col("relationship")).as("id"),
         col("first_dir.frm_id").as("frm"),
@@ -164,20 +178,23 @@ object GraphTables {
 
     // ---- properties: extracted + self-loop conversions ----------------
     val propMentions = logs
-      .select(col("doc_id"), col("chunk_id"), explode(col("properties")).as("p"))
-      .select(col("doc_id"), col("chunk_id"),
+      .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
+        explode(col("properties")).as("p"))
+      .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
         lower(trim(col("p.entity_name"))).as("owner_raw"),
         explode(col("p.properties")).as("prop_desc"))
     val propsCanon = resolveNames(propMentions, mapping, "owner_raw", "o")
       .filter(col("o_canon_norm").isNotNull) // J2: unknown owners are dropped
-      .select(col("doc_id"), col("chunk_id"), col("o_canon_norm").as("owner_norm"), col("prop_desc"))
-      .union(selfLoops)
+      .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
+        col("o_canon_norm").as("owner_norm"), col("prop_desc"))
+      .union(selfLoops.select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
+        col("owner_norm"), col("prop_desc")))
 
     val ownerNodes = nodeKeys.select(col("nk_doc").as("on_doc"), col("nk_name").as("on_name"), col("node_id"))
     val properties = propsCanon
       .join(ownerNodes, col("doc_id") === col("on_doc") && col("owner_norm") === col("on_name"))
       .groupBy(col("node_id"), col("prop_desc"))
-      .agg(array_sort(collect_set(struct(col("doc_id").as("document_id"), col("chunk_id")))).as("metadata"))
+      .agg(array_sort(collect_set(metaStruct)).as("metadata"))
       .select(
         propIdUdf(col("node_id"), col("prop_desc")).as("id"),
         col("node_id"),

@@ -40,8 +40,13 @@ object BuildPipeline {
       searchIndex: DataFrame,
       droppedEdges: DataFrame)
 
+  /** `docTags`: optional sidecar `(doc_id, tags: map<string,string>)` —
+    * the input table keeps the canonical (doc_id, spans) shape, tags ride
+    * separately and land on the documents registry (reference
+    * Document.tags, persistence/document.py + simple_repository.py:629-648). */
   def run(docs: Dataset[DocRow], extractor: SpanExtractor,
-          checkpoints: Option[Checkpoints] = None): BuildResult = {
+          checkpoints: Option[Checkpoints] = None,
+          docTags: Option[DataFrame] = None): BuildResult = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -112,13 +117,18 @@ object BuildPipeline {
     val documents = stage("documents", shared = false) {
       val chunkStats = chunks.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("chunk_num"), sum(col("token_num")).as("token_num"))
-      docMeta.select(col("doc_id")).join(chunkStats, Seq("doc_id"), "left")
-        .select(
-          udf((d: String) => Ids.of("doc", d)).apply(col("doc_id")).as("id"),
-          col("doc_id").as("name"),
-          coalesce(col("chunk_num"), lit(0L)).cast("int").as("chunk_num"),
-          coalesce(col("token_num"), lit(0L)).cast("int").as("token_num"),
-          map().cast("map<string,string>").as("tags"))
+      val base = docMeta.select(col("doc_id")).join(chunkStats, Seq("doc_id"), "left")
+      val withTags = docTags match {
+        case Some(t) =>
+          base.join(t.select(col("doc_id"), col("tags")), Seq("doc_id"), "left")
+        case None => base.withColumn("tags", lit(null).cast("map<string,string>"))
+      }
+      withTags.select(
+        udf((d: String) => Ids.of("doc", d)).apply(col("doc_id")).as("id"),
+        col("doc_id").as("name"),
+        coalesce(col("chunk_num"), lit(0L)).cast("int").as("chunk_num"),
+        coalesce(col("token_num"), lit(0L)).cast("int").as("token_num"),
+        coalesce(col("tags"), map().cast("map<string,string>")).as("tags"))
     }
 
     // --- search index (G5) ----------------------------------------------------

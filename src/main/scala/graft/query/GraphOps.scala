@@ -137,6 +137,15 @@ object GraphOps {
     created.unionByName(deleted).unionByName(updated)
   }
 
+  /** Tag stats (reference doc_tags maintenance, simple_repository.py:
+    * 629-648: tag key → number of documents carrying it). The reference
+    * mutates the count on every add/remove; here it's recomputed from the
+    * documents snapshot — one narrow scan of the tags column, consistent
+    * under replay (the same append-only stance as [[snapshotDiff]]). */
+  def tagStats(documents: DataFrame): DataFrame =
+    documents.select(explode(map_keys(col("tags"))).as("tag"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n_docs"))
+
   /** F7 — tag filter (reference simple_repository.py:692-723): a document
     * matches iff every filter tag is present with an equal value; with
     * `ignoreMissing` a document lacking the tag key is not disqualified

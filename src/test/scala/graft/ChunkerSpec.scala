@@ -1,6 +1,6 @@
 package graft
 
-import graft.build.Chunker
+import graft.build.{Chunker, TextSplitter}
 import graft.core._
 import graft.functions.TextFns
 
@@ -78,5 +78,78 @@ class ChunkerSpec extends SparkSpec {
     val viaCol = texts.select(TextFns.estimateTokensCol(col("text"))).collect().map(_.getInt(0))
     val viaScala = texts.collect().map(r => TextFns.estimateTokens(r.getString(0)))
     assert(viaCol.toSeq === viaScala.toSeq)
+  }
+
+  // ---- S1 TXT path: character-recursive splitter (reference
+  // reader.py:156-186, tests/builder/test_reader.py:36-52) ----------------
+
+  test("txt splitter: every chunk fits chunk_size; no content lost") {
+    val para = (i: Int) => s"Paragraph number $i talks about entity alpha and " +
+      s"entity beta collaborating on project gamma in considerable detail. " * 3
+    val text = (0 until 12).map(para).mkString("\n\n")
+    val chunks = TextSplitter.split(text, chunkSize = 800, overlap = 100)
+    assert(chunks.nonEmpty)
+    chunks.foreach(c => assert(c.length <= 800, s"chunk of ${c.length} chars"))
+    // stripped concatenation preserves every non-whitespace character in order
+    val flat = chunks.mkString.filterNot(_.isWhitespace)
+    val orig = text.filterNot(_.isWhitespace)
+    // overlap duplicates content, so flat is a supersequence; every chunk's
+    // stripped text must occur verbatim in the original
+    chunks.foreach(c => assert(orig.contains(c.filterNot(_.isWhitespace))))
+    assert(flat.length >= orig.length)
+  }
+
+  test("txt splitter: consecutive chunks overlap by at most `overlap` chars") {
+    val words = (0 until 600).map(i => s"w$i").mkString(" ")
+    val chunks = TextSplitter.split(words, chunkSize = 200, overlap = 50)
+    assert(chunks.length > 2)
+    chunks.sliding(2).foreach { case Vector(a, b) =>
+      // the start of b repeats the tail of a (window overlap), bounded by 50
+      val maxShared = (1 to math.min(a.length, b.length))
+        .filter(n => a.endsWith(b.take(n))).maxOption.getOrElse(0)
+      assert(maxShared <= 50 + 10) // +word-boundary slack
+      case _ => ()
+    }
+  }
+
+  test("txt splitter: unsplittable runs degrade to finer separators down to chars") {
+    val blob = "x" * 950 // no separators at all
+    val chunks = TextSplitter.split(blob, chunkSize = 300, overlap = 30)
+    assert(chunks.forall(_.length <= 300))
+    assert(chunks.mkString.length >= 950) // chars preserved (with overlap >=)
+    // newline-separated long lines split on the newline first
+    val lines = Seq("a" * 250, "b" * 250, "c" * 250).mkString("\n")
+    val byLine = TextSplitter.split(lines, chunkSize = 300, overlap = 30)
+    assert(byLine.exists(_.contains("a" * 250)) && byLine.exists(_.contains("c" * 250)))
+  }
+
+  test("txt chunks: reference semantics — strip, filter, pre-filter chunk ids (gaps allowed)") {
+    val good = ("The quick brown fox jumps over the lazy dog and keeps running through the long meadow. " * 4).trim
+    val junk = "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!! ~~~ ``` @@@ ### $$$ %%% ^^^ &&& *** ((( ))) !!! " * 3
+    val text = s"  $good\n\n$junk\n\n$good  "
+    val out = Chunker.chunkTxtDoc("d1", text, chunkSize = 400, overlap = 50).toVector
+    assert(out.nonEmpty)
+    // filtered chunks keep their pre-filter index: ids strictly increasing,
+    // and at least one junk chunk was dropped (gap or shifted ids)
+    val ids = out.map(_.chunk_id)
+    assert(ids === ids.sorted && ids.distinct.length === ids.length)
+    assert(out.forall(c => Chunker.keep(c.text)))
+    val nSplits = TextSplitter.split(text.strip(), 400, 50).length
+    assert(out.length < nSplits) // junk dropped
+    assert(ids.max <= nSplits - 1)
+  }
+
+  test("txt chunks: Spark stage equals the per-doc function on the documents table") {
+    val df = Seq(
+      ("d0", ("Sentence about alpha and beta working together on gamma. " * 40).trim),
+      ("d1", ""), // empty doc -> no chunks
+      ("d2", ("Another document mentioning delta and epsilon at length. " * 35).trim)
+    ).toDF("doc_id", "text")
+    val viaSpark = Chunker.txtChunks(df).collect().toVector
+      .sortBy(c => (c.doc_id, c.chunk_id))
+    val direct = df.collect().toVector.flatMap(r =>
+      Chunker.chunkTxtDoc(r.getString(0), r.getString(1))).sortBy(c => (c.doc_id, c.chunk_id))
+    assert(viaSpark === direct)
+    assert(viaSpark.nonEmpty && !viaSpark.exists(_.doc_id == "d1"))
   }
 }

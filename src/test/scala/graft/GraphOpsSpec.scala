@@ -106,6 +106,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(relaxed === Set("d1", "d2"))
   }
 
+  test("F7 on a real build: tags sidecar lands on the documents table and filters") {
+    import graft.extract.DeterministicExtractor
+    import graft.pipeline.BuildPipeline
+    val docs = Corpus.docs(spark, 12)
+    val sidecar = docs.toDF().select(col("doc_id"),
+      map(lit("shard"),
+        when(substring(col("doc_id"), -1, 1).cast("int") % 2 === 0, lit("even"))
+          .otherwise(lit("odd"))).as("tags"))
+    val r = BuildPipeline.run(docs, new DeterministicExtractor, docTags = Some(sidecar))
+    val even = GraphOps.filterByTags(r.documents, Map("shard" -> "even"))
+      .select("name").as[String].collect().toSet
+    assert(even.nonEmpty && even.size < 12)
+    assert(even.forall(n => n.last.asDigit % 2 == 0))
+    // tag stats: every doc carries the shard tag
+    val stats = GraphOps.tagStats(r.documents).collect()
+    assert(stats.map(r0 => r0.getString(0) -> r0.getLong(1)).toMap === Map("shard" -> 12L))
+  }
+
   test("G7 document removal: only-this-doc objects die, shared ones lose provenance") {
     val out = GraphOps.removeDocument(g, "d1")
     val ids = out.nodes.select("id").as[String].collect().toSet

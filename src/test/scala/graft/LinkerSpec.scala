@@ -40,6 +40,32 @@ class LinkerSpec extends SparkSpec {
     assert(res.filter(_.name_norm != "timmermans").forall(_.candidates.isEmpty))
   }
 
+  test("A6 containment gathering: candidate context reaches names that CONTAIN it") {
+    import spark.implicits._
+    // "The John Smithsonian" is NOT in the smith-cluster (token_set_ratio
+    // vs "john smith" < 95) but CONTAINS the candidate string "john smith",
+    // so reference containment gathering (node_matcher.py:118-131) credits
+    // its cardiology description to candidate "john smith". The ambiguous
+    // mention "smith" talks about the cardiology department -> must resolve
+    // to John Smith; exact-name gathering would tie at 0 and fall to the
+    // lexicographic tie-break ("mary smith").
+    val logs = spark.createDataset(Seq(
+      ExtractionLog("d1", 0, is_visual = false,
+        nodes = Seq(
+          NodeExt("John Smith", "a person"),
+          NodeExt("Mary Smith", "an engineer who designs bridges"),
+          NodeExt("The John Smithsonian", "heads the cardiology department research wing")),
+        edges = Seq(EdgeExt("Smith", "Research Council", "heads research in cardiology department wing")),
+        properties = Seq(), main_visual_entity = "")))
+    val mapping = Linker.canonicalMapping(logs)
+    val docRow = mapping.filter(col("chunk_id") === -1 && col("name_norm") === "smith").collect()
+    assert(docRow.length === 1)
+    assert(docRow.head.getAs[String]("canonical_norm") === "john smith")
+    // the per-chunk override agrees (same containment context drives it)
+    val chunkRow = mapping.filter(col("chunk_id") === 0 && col("name_norm") === "smith").collect()
+    assert(chunkRow.head.getAs[String]("canonical_norm") === "john smith")
+  }
+
   test("single-maximal cluster maps every alias to it") {
     val members = Vector(
       ("dr elena vasquez", "Dr Elena Vasquez", "d1"),

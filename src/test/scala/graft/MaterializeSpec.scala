@@ -1,6 +1,7 @@
 package graft
 
 import graft.core._
+import graft.extract.Extract
 import graft.link.Linker
 import graft.materialize.GraphTables
 import org.apache.spark.sql.functions._
@@ -128,5 +129,31 @@ class MaterializeSpec extends SparkSpec {
     val m = GraphTables.build(ds, Linker.canonicalMapping(ds))
     val viz = m.nodes.collect().filter(_.is_visual).map(_.name)
     assert(viz.toSeq === Seq("Figure Hero"))
+  }
+
+  test("figure-derived provenance carries media_ref/page/type (MetadataVisual analog)") {
+    val vLogs = Seq(
+      ExtractionLog("d1", Extract.VisualChunkBase + 7, is_visual = true,
+        nodes = Seq(NodeExt("chart entity", "entity from a figure")),
+        edges = Seq(), properties = Seq(), main_visual_entity = "chart entity",
+        media_ref = "img://doc-d1/fig-7.png", visual_kind = Kinds.Figure),
+      ExtractionLog("d1", 0, is_visual = false,
+        nodes = Seq(NodeExt("text entity", "plain text entity")),
+        edges = Seq(EdgeExt("chart entity", "text entity", "appears beside")),
+        properties = Seq(), main_visual_entity = ""))
+    val ds = spark.createDataset(vLogs)
+    val m = GraphTables.build(ds, Linker.canonicalMapping(ds))
+    val byName = m.nodes.collect().map(n => n.name -> n).toMap
+    val vis = byName("chart entity").metadata.flatMap(_.visual)
+    assert(vis.nonEmpty)
+    assert(vis.head.media_ref === "img://doc-d1/fig-7.png")
+    assert(vis.head.page_num === 7)
+    assert(vis.head.visual_type === Kinds.Figure)
+    // text-sourced provenance carries no visual struct
+    assert(byName("text entity").metadata.forall(_.visual.isEmpty))
+    // the cross-sourced edge keeps per-mention provenance: the text-chunk
+    // mention is non-visual
+    val edge = m.edges.collect().head
+    assert(edge.metadata.exists(_.visual.isEmpty))
   }
 }
