@@ -136,6 +136,10 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(s.read.parquet(t(d, "documents")), "doc_id", "text",
         k = 3, threshold = 0.8, maxShingleDf = 50L)),
+    // oracle-checkable: candidates are verified with the EXACT shingle
+    // Jaccard, and banding recall at J>=0.8 is 1.0 on this corpus (audited
+    // vs the exact pair set by app.OracleCheck at sf0.01 and sf0.1), so the
+    // output equals the full exact pair relation
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(s.read.parquet(t(d, "documents")), "doc_id", "text",
         k = 3, numPerm = 16, bands = 4, threshold = 0.8)),
@@ -304,6 +308,24 @@ object SparkEntry {
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
     "q_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), toks2 AS (
+        |  SELECT doc_id, list_filter(toks, x -> x <> '') AS toks FROM w
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS s
+        |  FROM toks2
+        |), e AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+        |    min(a.n_sh) AS na, min(b.n_sh) AS nb
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT ida, idb, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+        |FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.8""".stripMargin,
+    "q_minhash_lsh" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' ') AS toks
         |  FROM documents

@@ -1,0 +1,31 @@
+package graft.app
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off audit: can q_minhash_lsh / q_simhash get an exact-set oracle?
+  * Compares each candidate generator's exact-Jaccard-verified pairs against
+  * the full exact n-gram pair set at the same threshold. Equality at the
+  * driver's sf means the DuckDB ngram oracle can gate them too. */
+object OracleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (sf <- args) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8, maxShingleDf = 50L)
+        .select("ida", "idb").cache()
+      val mh = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, numPerm = 16, bands = 4, threshold = 0.8)
+        .select("ida", "idb")
+      val sh = Dedup.simhashVerifiedPairs(docs, "doc_id", "text", k = 3, threshold = 0.8, maxHamming = 3)
+        .select("ida", "idb")
+      val nEx = exact.count()
+      println(s"[oraclecheck] $sf exact=$nEx" +
+        s" mh_missing=${exact.exceptAll(mh).count()} mh_spurious=${mh.exceptAll(exact).count()}" +
+        s" sh_missing=${exact.exceptAll(sh).count()} sh_spurious=${sh.exceptAll(exact).count()}")
+    }
+    spark.stop()
+  }
+}

@@ -112,6 +112,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash-blocked near-dup pairs with EXACT n-gram Jaccard verification:
+    * same banded candidate generation as [[simhashPairs]], but candidates
+    * are verified against the true k-shingle Jaccard (>= threshold) rather
+    * than the Hamming proxy — the production shape when downstream needs a
+    * guaranteed-exact similarity, and oracle-checkable because the output
+    * is a subset of the exact pair relation. */
+  def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, threshold: Double = 0.8,
+                           maxHamming: Int = 3): DataFrame = {
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val jacc = udf((a: String, b: String) => {
+      val sa = TextFns.shingles(a, k).toSet
+      val sb = TextFns.shingles(b, k).toSet
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else (sa intersect sb).size.toDouble / (sa union sb).size
+    })
+    simhashPairs(df, idCol, textCol, maxHamming).select("ida", "idb")
+      .join(txt.select(col("id").as("ida"), col("text").as("ta")), Seq("ida"))
+      .join(txt.select(col("id").as("idb"), col("text").as("tb")), Seq("idb"))
+      .withColumn("jaccard", round(jacc(col("ta"), col("tb")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+  }
+
   /** Near-dup **clustering with survivor selection** — what a training
     * pipeline actually executes after pair generation: near-dup pairs form
     * a similarity graph whose connected components are dedup groups; one

@@ -38,6 +38,17 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8)
   }
 
+  test("simhash-verified pairs: exact subset of the true pair relation, all >= threshold") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ver = Dedup.simhashVerifiedPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ver.nonEmpty)
+    // exact verification => precision 1.0 vs the true relation
+    assert(ver.map(_._1).toSet.subsetOf(exact))
+    assert(ver.forall(_._2 >= 0.8))
+  }
+
   test("lsh ANN top-k recall vs brute force") {
     val queries = emb.filter(col("id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)
