@@ -226,6 +226,15 @@ object SparkEntry {
       graft.query.Search.quickSearch(kg(s, d).searchIndex, "who collaborates with Vertex Analytics")),
     "kg_global_search" -> ((s, d) =>
       graft.query.Search.globalSearch(kg(s, d).searchIndex, "which network includes Vertex Analytics")),
+    // Q3 visuals selection: hits with visual provenance -> their visual
+    // parent nodes (dormant in the reference; rows-only check here)
+    "kg_visuals" -> ((s, d) => {
+      val r = kg(s, d)
+      val hits = graft.query.Search.quickSearch(r.searchIndex, "which entity is depicted with a figure")
+      graft.query.Search.suitableVisuals(
+        graft.query.Search.enrich(hits, r.nodes, r.edges, r.properties),
+        r.nodes, r.edges, r.properties)
+    }),
     "kg_stats" -> ((s, d) => {
       val r = kg(s, d)
       graft.query.GraphOps.stats(r.nodes, r.edges, r.properties)

@@ -190,13 +190,15 @@ object Linker {
       .agg(array_join(array_sort(collect_set(col("piece"))), " ").as("cand_descs"))
 
     // candidates with containment-gathered context (falls back to empty
-    // when nothing in the doc contains the candidate name)
-    val ambiguous = resolved.filter(size(col("candidates")) > 1)
+    // when nothing in the doc contains the candidate name); materialized
+    // once — BOTH the doc-level default and the per-chunk overrides join it
+    val ambiguous = timed("ambiguous")(resolved.filter(size(col("candidates")) > 1)
       .select(col("doc_id"), col("name_norm"), explode(col("candidates")).as("c"))
       .select(col("doc_id"), col("name_norm"),
         col("c._1").as("cand_norm"), col("c._2").as("cand_display"))
       .join(gathered, Seq("doc_id", "cand_norm"), "left")
       .withColumn("cand_descs", coalesce(col("cand_descs"), lit("")))
+      .localCheckpoint(true))
 
     // doc-level default for ambiguous members: rerank the member's own
     // gathered descriptions against each candidate's CONTAINMENT context

@@ -74,7 +74,9 @@ object Search {
       .join(nodes.select(col("id"), col("name"), col("description"), col("level")), Seq("id"), "left")
       .select(col("id"), col("type"), col("text"), col("score"), col("document_id"),
         col("name").as("subject"), col("description").as("detail"),
-        array().cast("array<string>").as("parent_names"))
+        // reference parent_nodes for a node hit = [node.name]
+        // (quick_search.py:228-230)
+        array(col("name")).as("parent_names"))
 
     val edgeHits = h.filter(col("type") === "edge")
       .join(edges.select(col("id"), col("frm"), col("to"), col("description")), Seq("id"), "left")
@@ -83,7 +85,8 @@ object Search {
       .select(col("id"), col("type"), col("text"), col("score"), col("document_id"),
         concat_ws(" ↔ ", col("frm_name"), col("to_name")).as("subject"),
         col("description").as("detail"),
-        array(col("frm_name"), col("to_name")).as("parent_names"))
+        // reference order: [edge.to.name, edge.frm.name] (quick_search.py:236)
+        array(col("to_name"), col("frm_name")).as("parent_names"))
 
     val propHits = h.filter(col("type") === "property")
       .join(properties.select(col("id"), col("node_id"), col("description")), Seq("id"), "left")
@@ -94,6 +97,35 @@ object Search {
 
     nodeHits.unionByName(edgeHits).unionByName(propHits)
       .orderBy(col("score").desc, col("id").asc)
+  }
+
+  /** Q3 — visuals selection (reference choose_suitable_visuals,
+    * quick_search.py:78-114 — defined but dormant there: its call site is
+    * commented out "add the visuals in future PR"). Enriched hits whose
+    * FIRST provenance entry carries visual metadata contribute their
+    * parent names; parents resolved by (document, name) that are
+    * `is_visual` level-0 nodes are returned, deduped. The hit set is
+    * top-k small → broadcast; the node probe is an equi-join on the
+    * doc-scoped name key. */
+  def suitableVisuals(enriched: DataFrame, nodes: DataFrame, edges: DataFrame,
+                      properties: DataFrame): DataFrame = {
+    val metaOf = nodes.select(col("id"), col("metadata"))
+      .unionByName(edges.select(col("id"), col("metadata")))
+      .unionByName(properties.select(col("id"), col("metadata")))
+    val visualHitParents = broadcast(enriched).join(metaOf, Seq("id"))
+      .filter(element_at(col("metadata"), 1).getField("visual").isNotNull)
+      .select(col("document_id"),
+        explode(col("parent_names")).as("pname"))
+      .select(col("document_id"), lower(trim(col("pname"))).as("pname_norm"))
+      .distinct()
+    val vh = visualHitParents.select(col("document_id").as("vh_doc"),
+      col("pname_norm").as("vh_name"))
+    nodes.filter(col("is_visual") && col("level") === 0)
+      .withColumn("node_doc", element_at(col("metadata"), 1).getField("document_id"))
+      .join(broadcast(vh),
+        col("node_doc") === col("vh_doc") && lower(trim(col("name"))) === col("vh_name"))
+      .select(col("id"), col("name"), col("description"), col("node_doc").as("document_id"))
+      .distinct()
   }
 
   case class RagAnswer(answer: String, sources: Seq[String])

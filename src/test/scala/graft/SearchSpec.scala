@@ -50,4 +50,33 @@ class SearchSpec extends SparkSpec {
     assert(Search.retrieve(idx, "alpha", 1, 10, 0.0).select("id").as[String].collect().toSeq === Seq("n1"))
     assert(Search.retrieve(idx, "alpha", 0, 10, 0.0, docIds = Seq("doc-2")).count() === 0)
   }
+
+  test("Q3 visuals selection: visual-provenance hits surface their visual parent nodes") {
+    import graft.core._
+    import graft.extract.Extract
+    import graft.index.SearchIndex
+    import graft.link.Linker
+    import graft.materialize.GraphTables
+    // a figure log whose main entity is visual + a plain-text log
+    val logs = spark.createDataset(Seq(
+      ExtractionLog("d1", Extract.VisualChunkBase + 3, is_visual = true,
+        nodes = Seq(NodeExt("Revenue Chart", "quarterly revenue trend figure")),
+        edges = Seq(EdgeExt("Revenue Chart", "Finance Team", "is maintained by")),
+        properties = Seq(), main_visual_entity = "Revenue Chart",
+        media_ref = "img://d1/fig-3.png", visual_kind = Kinds.Figure),
+      ExtractionLog("d1", 0, is_visual = false,
+        nodes = Seq(NodeExt("Finance Team", "the finance department staff")),
+        edges = Seq(), properties = Seq(), main_visual_entity = "")))
+    val m = GraphTables.build(logs, Linker.canonicalMapping(logs))
+    val idx = SearchIndex.build(m.nodes.toDF(), m.edges.toDF(), m.properties.toDF())
+    val hits = Search.quickSearch(idx, "quarterly revenue trend figure")
+    val enriched = Search.enrich(hits, m.nodes.toDF(), m.edges.toDF(), m.properties.toDF())
+    val visuals = Search.suitableVisuals(enriched, m.nodes.toDF(), m.edges.toDF(), m.properties.toDF())
+      .collect()
+    assert(visuals.map(_.getAs[String]("name")).toSet === Set("Revenue Chart"))
+    // node hits carry themselves as parent (reference quick_search.py:230)
+    val nodeParents = enriched.filter(col("type") === "node" && col("subject") === "Revenue Chart")
+      .select("parent_names").as[Seq[String]].collect()
+    assert(nodeParents.forall(_ === Seq("Revenue Chart")))
+  }
 }
