@@ -55,9 +55,11 @@ object Communities {
   ): CommunityLayer = {
     val spark = nodes.sparkSession
 
+    // NOT checkpointed: `nodes` arrives materialized (GraphTables checkpoints
+    // it; the pipeline stage persists it), so this projection is free to
+    // recompute per consumer — a checkpoint here would only add a barrier.
     val n0 = nodes.toDF()
       .withColumn("doc_id", element_at(col("metadata"), 1).getField("document_id"))
-      .localCheckpoint(true)
 
     // --- components over the level-0 graph (per doc: node ids embed doc) --
     val vertices = n0.select(col("doc_id").as("key"), col("id").as("v"))

@@ -77,6 +77,13 @@ class CatalogTableIO(db: String) extends TableIO {
 class Checkpoints(spark: SparkSession, io: TableIO, runId: String) {
   import spark.implicits._
 
+  /** Stages materialize concurrently (BuildPipeline overlaps independent
+    * stages), but `_lineage` is ONE table: concurrent parquet appends to
+    * the same path race on the commit protocol, so only the lineage append
+    * is serialized — the per-stage data writes go to distinct dirs and run
+    * fully parallel. */
+  private val lineageLock = new Object
+
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
     val resumed = io.exists(spark, name)
@@ -88,7 +95,7 @@ class Checkpoints(spark: SparkSession, io: TableIO, runId: String) {
     val wallMs = (System.nanoTime() - t0) / 1000000L
     val lineage = Seq((runId, name, rows, wallMs, resumed))
       .toDF("run_id", "stage", "rows_out", "wall_ms", "resumed")
-    io.append(lineage, "_lineage")
+    lineageLock.synchronized { io.append(lineage, "_lineage") }
     out
   }
 }

@@ -94,7 +94,7 @@ object GraphTables {
         coalesce(col("m_canon"), col("name_norm")).as("canonical"),
         col("description"), col("viz"))
 
-    val nodes = mentionsCanon
+    val nodesPlan = mentionsCanon
       .groupBy(col("doc_id"), col("canonical_norm"))
       .agg(
         min(col("canonical")).as("name"),
@@ -111,11 +111,13 @@ object GraphTables {
         array().cast("array<string>").as("child_ids"),
         col("metadata"),
         col("doc_id"), col("canonical_norm"))
-      // materialized once: consumed as the nodes table AND as the endpoint
-      // resolution map for edges/properties
-      .localCheckpoint(true)
+    // materialized once: consumed as the nodes table AND as the endpoint
+    // resolution map for edges/properties. Independent of the edge-mention
+    // resolution below — the two checkpoints overlap (Par).
+    val nodesF = Par.fork(spark)(nodesPlan.localCheckpoint(true))
 
-    val nodeKeys = nodes.select(col("doc_id").as("nk_doc"), col("canonical_norm").as("nk_name"),
+    lazy val nodes = Par.await(nodesF)
+    lazy val nodeKeys = nodes.select(col("doc_id").as("nk_doc"), col("canonical_norm").as("nk_name"),
       col("id").as("node_id"), col("name").as("node_name"))
 
     // ---- edge mentions: resolve endpoints, split self-loops ----------

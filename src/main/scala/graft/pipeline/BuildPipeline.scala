@@ -67,19 +67,27 @@ object BuildPipeline {
       out
     }
 
-    // --- chunking ---------------------------------------------------------
-    val chunks = stage("chunks")(Chunker.chunks(docs).toDF())
-    val chunksT = chunks.as[Chunk]
+    // Overlap independent stages (graft.core.Par: concurrent job
+    // submission — how independent DAG branches overlap on a real cluster).
+    def fork[T](body: => T): scala.concurrent.Future[T] = Par.fork(spark)(body)
+    def await[T](f: scala.concurrent.Future[T]): T = Par.await(f)
 
     // --- per-doc keywords + summary (L1/L2) --------------------------------
-    val docMeta = stage("doc_meta") {
+    // Independent of the chunk→extract→link chain (it reads only the raw
+    // docs) — runs concurrently with ALL of it; first consumer is the
+    // community layer, which awaits it.
+    val docMetaF = fork(stage("doc_meta") {
       Chunker.fullTexts(docs).mapPartitions { it =>
         BoundedExec.mapBounded(it, extractor.maxConcurrency) { case (docId, txt) =>
           (docId, extractor.keywords(txt), extractor.summary(txt),
             graft.functions.TextFns.estimateTokens(txt))
         }
       }.toDF("doc_id", "keywords", "summary", "token_num")
-    }
+    })
+
+    // --- chunking ---------------------------------------------------------
+    val chunks = stage("chunks")(Chunker.chunks(docs).toDF())
+    val chunksT = chunks.as[Chunk]
 
     // --- extraction (L3..L6) ------------------------------------------------
     val logs = stage("logs") {
@@ -92,26 +100,38 @@ object BuildPipeline {
     val mapping = stage("mapping")(Linker.canonicalMapping(logsT))
 
     // --- materialize level-0 graph (G1) -------------------------------------
+    // GraphTables.build materializes the shared resolution lineage once;
+    // the four table projections are then independent — materialize them
+    // concurrently.
     val mat = GraphTables.build(logsT, mapping)
-    val nodes0 = stage("nodes0")(mat.nodes.toDF())
-    val edges0 = stage("edges0")(mat.edges.toDF())
-    val props0 = stage("properties0")(mat.properties.toDF())
-    val triples = stage("triples")(mat.triples)
+    // nodes0 is ALREADY materialized inside GraphTables (endpoint-resolution
+    // map) — a second eager checkpoint would copy it for nothing, so the
+    // stage is lazy without a work dir (and persists normally with one).
+    val nodes0F = fork(stage("nodes0", shared = false)(mat.nodes.toDF()))
+    val edges0F = fork(stage("edges0")(mat.edges.toDF()))
+    val props0F = fork(stage("properties0")(mat.properties.toDF()))
+    val triplesF = fork(stage("triples")(mat.triples))
     val dropped = stage("dropped_edges", shared = false)(mat.droppedEdges)
+    val (nodes0, edges0, props0, triples) =
+      (await(nodes0F), await(edges0F), await(props0F), await(triplesF))
 
     // --- community + document layers (G2/G3/G4) -----------------------------
+    val docMeta = await(docMetaF)
     val layer = Communities.build(
       nodes0.as[NodeRow], edges0.as[EdgeRow], props0.as[PropertyRow],
       docMeta.select(col("doc_id"), col("keywords")),
       docMeta.select(col("doc_id"), col("summary")))
 
-    val nodes = stage("nodes") {
+    // the three final tables derive from the SAME materialized membership —
+    // independent of each other
+    val nodesF = fork(stage("nodes") {
       layer.nodesWithCommunity.unionByName(layer.communityNodes).unionByName(layer.docNodes)
-    }
-    val edges = stage("edges")(edges0.unionByName(layer.communityEdges))
-    val properties = stage("properties") {
+    })
+    val edgesF = fork(stage("edges")(edges0.unionByName(layer.communityEdges)))
+    val propertiesF = fork(stage("properties") {
       props0.unionByName(layer.communityProperties).unionByName(layer.docProperties)
-    }
+    })
+    val (nodes, edges, properties) = (await(nodesF), await(edgesF), await(propertiesF))
 
     // --- documents registry (S6) ---------------------------------------------
     val documents = stage("documents", shared = false) {
