@@ -235,6 +235,12 @@ object SparkEntry {
         graft.query.Search.enrich(hits, r.nodes, r.edges, r.properties),
         r.nodes, r.edges, r.properties)
     }),
+    // F5 community CSV render: the two prompt-context CSV strings per
+    // community (rows-only; content gated by CommunitySpec)
+    "kg_community_csv" -> ((s, d) => {
+      val r = kg(s, d)
+      graft.community.Communities.communityCsv(r.nodes, r.edges, r.properties)
+    }),
     "kg_stats" -> ((s, d) => {
       val r = kg(s, d)
       graft.query.GraphOps.stats(r.nodes, r.edges, r.properties)

@@ -201,4 +201,59 @@ object Communities {
       docNodes.drop("doc_id"),
       docProperties)
   }
+
+  /** F5 — community CSV rendering (reference
+    * tools/community_builder.py:180-187): the two CSV context strings fed
+    * to the community-report prompt — member properties as
+    * `node_name,property` lines and member-touching edges (frm OR to in
+    * the community, `_filter_edges` :150-162) as `from,to,description`
+    * lines, each under its header row. The reference emits lines in
+    * repository iteration order; here lines are sorted lexicographically so
+    * the render is deterministic and cluster-order-independent.
+    *
+    * Shape: membership is doc-scoped (community ids embed doc_id), all
+    * joins key on node id — no corpus-global shuffle key.
+    */
+  def communityCsv(nodesWithCommunity: DataFrame, edges: DataFrame,
+                   properties: DataFrame): DataFrame = {
+    val members = nodesWithCommunity
+      .filter(col("level") === 0 && col("community_id") =!= "")
+      .select(col("id").as("node_id"), col("name"), col("community_id"))
+
+    val propLines = members
+      .join(properties.select(col("node_id"), col("description")), Seq("node_id"))
+      .groupBy(col("community_id"))
+      .agg(concat_ws("\n",
+        array_sort(collect_list(concat_ws(",", col("name"), col("description"))))).as("plines"))
+
+    // an edge joins a community when EITHER endpoint is a member (it may
+    // therefore appear in two communities, as in the reference)
+    val names = nodesWithCommunity.filter(col("level") === 0)
+      .select(col("id"), col("name"))
+    val withNames = edges
+      .join(names.select(col("id").as("frm"), col("name").as("frm_name")), Seq("frm"))
+      .join(names.select(col("id").as("to"), col("name").as("to_name")), Seq("to"))
+      .select(col("id"), col("frm"), col("to"), col("frm_name"), col("to_name"), col("description"))
+    val touching = withNames
+      .join(members.select(col("node_id").as("frm"), col("community_id")), Seq("frm"))
+      .unionByName(withNames
+        .join(members.select(col("node_id").as("to"), col("community_id")), Seq("to")))
+      .select(col("community_id"), col("id"),
+        concat_ws(",", col("frm_name"), col("to_name"), col("description")).as("line"))
+      .groupBy(col("community_id"), col("id")).agg(first(col("line")).as("line")) // dedup both-endpoint edges
+    val edgeLines = touching
+      .groupBy(col("community_id"))
+      .agg(concat_ws("\n", array_sort(collect_list(col("line")))).as("elines"))
+
+    members.select(col("community_id")).distinct()
+      .join(propLines, Seq("community_id"), "left")
+      .join(edgeLines, Seq("community_id"), "left")
+      .select(col("community_id"),
+        concat(lit("node_name,property"),
+          when(coalesce(col("plines"), lit("")) =!= "", concat(lit("\n"), col("plines")))
+            .otherwise(lit(""))).as("prop_csv"),
+        concat(lit("from,to,description"),
+          when(coalesce(col("elines"), lit("")) =!= "", concat(lit("\n"), col("elines")))
+            .otherwise(lit(""))).as("edge_csv"))
+  }
 }
