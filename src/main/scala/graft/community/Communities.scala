@@ -2,7 +2,7 @@ package graft.community
 
 import graft.core._
 import graft.link.ConnectedComponents
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Community layer + document node (reference
@@ -41,10 +41,13 @@ object Communities {
       docNodes: DataFrame, // level-2 NodeRow-shaped
       docProperties: DataFrame) // keyword properties of doc nodes
 
-  private val commIdUdf = udf((doc: String, minMember: String) => Ids.communityId(doc, minMember, 1))
-  private val docNodeIdUdf = udf((doc: String) => Ids.of("docnode", doc))
-  private val propIdUdf = udf((n: String, d: String) => Ids.propertyId(n, d))
-  private val edgeIdUdf = udf((a: String, b: String, d: String) => Ids.edgeId(a, b, d))
+  // ids are codegen built-ins (Ids.idCol), not UDFs — see core/Schema.scala
+  private def commIdUdf(doc: Column, minMember: Column): Column =
+    Ids.idCol(lit("comm"), doc, minMember, lit("1"))
+  private def docNodeIdUdf(doc: Column): Column = Ids.idCol(lit("docnode"), doc)
+  private def propIdUdf(n: Column, d: Column): Column = Ids.idCol(lit("prop"), n, d)
+  private def edgeIdUdf(a: Column, b: Column, d: Column): Column =
+    Ids.idCol(lit("edge"), a, b, d)
 
   def build(
       nodes: Dataset[NodeRow],

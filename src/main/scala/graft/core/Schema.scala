@@ -97,12 +97,41 @@ case class IndexRow(
     embedding: Array[Float])
 
 object Ids {
-  import java.util.UUID
   import java.nio.charset.StandardCharsets
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{concat_ws, md5}
 
-  /** Deterministic id: same logical object → same id across runs. */
-  def of(parts: String*): String =
-    UUID.nameUUIDFromBytes(parts.mkString("").getBytes(StandardCharsets.UTF_8)).toString
+  private val Sep = "\u0001"
+
+  /** The id is the MD5 hex of the \u0001-joined parts — chosen so the
+    * DataFrame-side twin [[idCol]] is `md5(concat_ws(sep, ...))`: pure
+    * built-ins, whole-stage-codegen'd. (The previous
+    * `UUID.nameUUIDFromBytes` UDF paid a `MessageDigest.getInstance` +
+    * UDF ser/deser per ROW — jstack'd at ~95 s of one executor's CPU in a
+    * 96k-doc build.) Thread-local digest: getInstance is not cheap and
+    * MessageDigest is not thread-safe. */
+  private val tlMd5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** Deterministic id: same logical object → same id across runs.
+    * Byte-identical to [[idCol]] (Spark `md5` = lowercase hex). */
+  def of(parts: String*): String = {
+    val md = tlMd5.get()
+    md.reset()
+    val bytes = md.digest(parts.mkString(Sep).getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Column twin of [[of]] — same bytes, same hex, zero UDF. */
+  def idCol(parts: Column*): Column = md5(concat_ws(Sep, parts: _*))
 
   def nodeId(docId: String, nameNorm: String, level: Int): String =
     of("node", docId, nameNorm, level.toString)
@@ -113,3 +142,4 @@ object Ids {
   def communityId(docScope: String, memberMin: String, level: Int): String =
     of("comm", docScope, memberMin, level.toString)
 }
+

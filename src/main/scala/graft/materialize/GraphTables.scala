@@ -2,7 +2,7 @@ package graft.materialize
 
 import graft.core._
 import graft.extract.Extract
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Persist-to-graph (reference eschergraph/builder/build_pipeline.py:249-308):
@@ -49,9 +49,13 @@ object GraphTables {
           (col("chunk_id") - Extract.VisualChunkBase).as("page_num"),
           col("visual_kind").as("visual_type"))).as("visual"))
 
-  private val nodeIdUdf = udf((doc: String, nameNorm: String) => Ids.nodeId(doc, nameNorm, 0))
-  private val edgeIdUdf = udf((a: String, b: String, d: String) => Ids.edgeId(a, b, d))
-  private val propIdUdf = udf((n: String, d: String) => Ids.propertyId(n, d))
+  // ids are codegen built-ins (Ids.idCol), not UDFs — see core/Schema.scala
+  private def nodeIdCol(doc: Column, nameNorm: Column): Column =
+    Ids.idCol(lit("node"), doc, nameNorm, lit("0"))
+  private def edgeIdCol(a: Column, b: Column, d: Column): Column =
+    Ids.idCol(lit("edge"), a, b, d)
+  private def propIdCol(n: Column, d: Column): Column =
+    Ids.idCol(lit("prop"), n, d)
 
   /** Resolve a name column against the two-tier mapping: per-chunk
     * override (ambiguous mentions only) wins over the doc-level default.
@@ -102,7 +106,7 @@ object GraphTables {
         max(col("viz")).as("is_visual"),
         array_sort(collect_set(metaStruct)).as("metadata"))
       .select(
-        nodeIdUdf(col("doc_id"), col("canonical_norm")).as("id"),
+        nodeIdCol(col("doc_id"), col("canonical_norm")).as("id"),
         col("name"),
         col("first_desc.description").as("description"),
         lit(0).as("level"),
@@ -172,7 +176,7 @@ object GraphTables {
         min(struct(col("chunk_id"), col("frm_id"), col("to_id"))).as("first_dir"),
         array_sort(collect_set(metaStruct)).as("metadata"))
       .select(
-        edgeIdUdf(col("lo"), col("hi"), col("relationship")).as("id"),
+        edgeIdCol(col("lo"), col("hi"), col("relationship")).as("id"),
         col("first_dir.frm_id").as("frm"),
         col("first_dir.to_id").as("to"),
         col("relationship").as("description"),
@@ -198,7 +202,7 @@ object GraphTables {
       .groupBy(col("node_id"), col("prop_desc"))
       .agg(array_sort(collect_set(metaStruct)).as("metadata"))
       .select(
-        propIdUdf(col("node_id"), col("prop_desc")).as("id"),
+        propIdCol(col("node_id"), col("prop_desc")).as("id"),
         col("node_id"),
         col("prop_desc").as("description"),
         col("metadata"))

@@ -144,7 +144,7 @@ object BuildPipeline {
         case None => base.withColumn("tags", lit(null).cast("map<string,string>"))
       }
       withTags.select(
-        udf((d: String) => Ids.of("doc", d)).apply(col("doc_id")).as("id"),
+        Ids.idCol(lit("doc"), col("doc_id")).as("id"),
         col("doc_id").as("name"),
         coalesce(col("chunk_num"), lit(0L)).cast("int").as("chunk_num"),
         coalesce(col("token_num"), lit(0L)).cast("int").as("token_num"),

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   * tests/builder/test_build_pipeline.py:79-145 and the invariants at
   * build_pipeline.py:249-308). */
 class MaterializeSpec extends SparkSpec {
+
+  test("Ids.of (scala twin) is byte-identical to Ids.idCol (codegen md5)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val rows = Seq(("doc-1", "alpha corp"), ("doc-2", "βeta λabs"), ("d", ""))
+      .toDF("doc", "name")
+    val got = rows.select(
+      graft.core.Ids.idCol(lit("node"), col("doc"), col("name"), lit("0")).as("id"),
+      col("doc"), col("name")).collect()
+    got.foreach { r =>
+      assert(r.getString(0) ===
+        graft.core.Ids.nodeId(r.getString(1), r.getString(2), 0))
+    }
+  }
   import spark.implicits._
 
   // fixture ported from the reference's persist test: two logs, repeated
