@@ -66,7 +66,9 @@ object Bench {
   private def scalingSummary: Option[String] = {
     val f = Seq("BENCH/scaling_rows.md", "/root/repo/BENCH/scaling_rows.md")
       .map(new java.io.File(_)).find(_.exists()).getOrElse(return None)
-    val row = """\|\s*(\d+)\s*\|[^|]*\|[^|]*\|\s*([0-9.]+)x\s*\|\s*([0-9.]+)x\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|""".r
+    // `.*` tail: rows may carry a trailing notes column (affinity-isolated
+    // campaigns), and Scala regex patterns anchor to the full string
+    val row = """\|\s*(\d+)\s*\|[^|]*\|[^|]*\|\s*([0-9.]+)x\s*\|\s*([0-9.]+)x\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|.*""".r
     val rows = scala.io.Source.fromFile(f).getLines().collect {
       case row(docs, sp, hw, raw, norm) => (docs.toLong, sp.toDouble, hw.toDouble, raw.toDouble, norm.toDouble)
     }.toVector
