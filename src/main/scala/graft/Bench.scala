@@ -13,14 +13,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local(cpus.toInt, "graft-bench")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed(name: String)(body: => Long): Long = {
@@ -66,22 +59,34 @@ object Bench {
   private def scalingSummary: Option[String] = {
     val f = Seq("BENCH/scaling_rows.md", "/root/repo/BENCH/scaling_rows.md")
       .map(new java.io.File(_)).find(_.exists()).getOrElse(return None)
-    // `.*` tail: rows may carry a trailing notes column (affinity-isolated
-    // campaigns), and Scala regex patterns anchor to the full string
-    val row = """\|\s*(\d+)\s*\|[^|]*\|[^|]*\|\s*([0-9.]+)x\s*\|\s*([0-9.]+)x\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|.*""".r
-    val rows = scala.io.Source.fromFile(f).getLines().collect {
-      case row(docs, sp, hw, raw, norm) => (docs.toLong, sp.toDouble, hw.toDouble, raw.toDouble, norm.toDouble)
-    }.toVector
+    // `(.*)` tail: rows carry a trailing notes column stamped with
+    // gen=<generation> commit=<hash> (ScalingBench.summarize), and Scala
+    // regex patterns anchor to the full string
+    val row = """\|\s*(\d+)\s*\|[^|]*\|[^|]*\|\s*([0-9.]+)x\s*\|\s*([0-9.]+)x\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|(.*)""".r
+    val src = scala.io.Source.fromFile(f)
+    val all = try src.getLines().collect {
+      case row(docs, sp, hw, raw, norm, notes) =>
+        (docs.toLong, sp.toDouble, hw.toDouble, raw.toDouble, norm.toDouble, notes)
+    }.toVector finally src.close()
+    // only rows from the CURRENT engine generation enter the reported
+    // distribution — older-methodology / older-binary rows stay in the md
+    // for the record but must not mix into this binary's numbers
+    val gen = all.filter(_._6.contains(s"gen=${graft.app.ScalingBench.Generation}"))
+    val rows = (if (gen.nonEmpty) gen else all).map(r => (r._1, r._2, r._3, r._4, r._5))
     if (rows.isEmpty) return None
     def fmt(xs: Seq[Double]) = xs.sorted.map(x => f"$x%.2f").mkString("[", ",", "]")
     // at-scale rounds: the build stops being latency-dominated >= 96k docs
     val big = rows.filter(_._1 >= 96000L)
     val use = if (big.nonEmpty) big else rows
+    def median(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
     Some(
-      s"""{"rounds_total":${rows.size},"rounds_at_scale":${big.size},""" +
+      s"""{"generation":"${graft.app.ScalingBench.Generation}",""" +
+      s""""rounds_total":${rows.size},"rounds_at_scale":${big.size},""" +
       s""""docs_at_scale":${use.map(_._1).max},""" +
       s""""speedups":${fmt(use.map(_._2))},"hw_ceilings":${fmt(use.map(_._3))},""" +
       s""""eff_raw":${fmt(use.map(_._4))},"eff_hw_normalized":${fmt(use.map(_._5))},""" +
+      s""""median_eff_raw":${f"${median(use.map(_._4))}%.2f"},""" +
+      s""""median_eff_hw_normalized":${f"${median(use.map(_._5))}%.2f"},""" +
       s""""best_eff_raw":${f"${use.map(_._4).max}%.2f"},"best_eff_hw_normalized":${f"${use.map(_._5).max}%.2f"}}""")
   }
 }

@@ -129,22 +129,35 @@ object SparkEntry {
       Dedup.exact(s.read.parquet(t(d, "documents")), "doc_id", "text")),
     "q_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(s.read.parquet(t(d, "documents")), "doc_id", "text")),
-    // maxShingleDf bounds candidate volume (sum df^2) on stop-shingles; the
-    // reported Jaccard stays exact (full sets in the denominator), so the
-    // uncapped DuckDB oracle still hash-matches — near-dup pairs at J>=0.8
-    // always share rare shingles too (verified vs cap=0 at sf0.01/sf0.1).
+    // maxShingleDf bounds candidate volume (sum df^2) on stop-shingles; it
+    // prunes CANDIDATES only — surviving pairs re-verify against the FULL
+    // shingle sets (numerator and denominator), so the reported Jaccard is
+    // exact by construction and the uncapped DuckDB oracle hash-matches.
+    // The cap's only possible effect is dropping a pair whose EVERY shared
+    // shingle is hot — CapCheck proves capped ≡ uncapped at sf0.01/sf0.1.
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(s.read.parquet(t(d, "documents")), "doc_id", "text",
         k = 3, threshold = 0.8, maxShingleDf = 50L)),
     // oracle-checkable: candidates are verified with the EXACT shingle
-    // Jaccard, and banding recall at J>=0.8 is 1.0 on this corpus (audited
-    // vs the exact pair set by app.OracleCheck at sf0.01 and sf0.1), so the
-    // output equals the full exact pair relation
+    // Jaccard (no spurious pairs, values exact), so the only assumption the
+    // exact-set oracle adds is banding recall 1.0 at J>=0.8. That is
+    // EMPIRICAL, not structural (candidate probability at J=0.8 with
+    // numPerm=16/bands=4 is ~0.88) — so it is asserted EXPLICITLY: the
+    // DedupSpec recall tests recompute approx-vs-exact equality on the
+    // driver's own sf0.01 corpus every `sbt test`, and app.OracleCheck
+    // audits sf0.01 + sf0.1. A corpus where recall drops below 1.0 fails
+    // the test suite, not silently the oracle hash.
     "q_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(s.read.parquet(t(d, "documents")), "doc_id", "text",
         k = 3, numPerm = 16, bands = 4, threshold = 0.8)),
+    // same contract as q_minhash_lsh: simhash-banded candidates (16x4-bit
+    // bands, Hamming<=15 — the Hamming net is structurally complete by
+    // pigeonhole, and wide because J=0.8 pairs reach Hamming 13 on the
+    // audited corpora; Jaccard recall audited 1.0 and test-asserted),
+    // exact Jaccard verification — output equals the exact pair relation
     "q_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(s.read.parquet(t(d, "documents")), "doc_id", "text", maxHamming = 3)),
+      Dedup.simhashVerifiedPairs(s.read.parquet(t(d, "documents")), "doc_id", "text",
+        k = 3, threshold = 0.8)),
     "q_embed_neardup" -> ((s, d) => {
       // the synthetic embeddings carry no natural near-dups (max pairwise
       // cosine ~0.5), so plant exact duplicates of the first 20 vectors
@@ -227,13 +240,18 @@ object SparkEntry {
     "kg_global_search" -> ((s, d) =>
       graft.query.Search.globalSearch(kg(s, d).searchIndex, "which network includes Vertex Analytics")),
     // Q3 visuals selection: hits with visual provenance -> their visual
-    // parent nodes (dormant in the reference; rows-only check here)
+    // parent nodes, with the visual's TEXT CONTENT recovered by joining
+    // media_ref back to the spans table (reference MetadataVisual.content
+    // semantics, persistence/metadata.py:10-22; dormant in the reference;
+    // rows-only check here, content round-trip gated by SearchSpec)
     "kg_visuals" -> ((s, d) => {
       val r = kg(s, d)
       val hits = graft.query.Search.quickSearch(r.searchIndex, "which entity is depicted with a figure")
-      graft.query.Search.suitableVisuals(
-        graft.query.Search.enrich(hits, r.nodes, r.edges, r.properties),
-        r.nodes, r.edges, r.properties)
+      graft.query.Search.visualContent(
+        graft.query.Search.suitableVisuals(
+          graft.query.Search.enrich(hits, r.nodes, r.edges, r.properties),
+          r.nodes, r.edges, r.properties),
+        Corpus.docs(s, Corpus.docsForSfDir(d)).toDF())
     }),
     // F5 community CSV render: the two prompt-context CSV strings per
     // community (rows-only; content gated by CommunitySpec)
@@ -341,6 +359,28 @@ object SparkEntry {
         |SELECT ida, idb, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
         |FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.8""".stripMargin,
     "q_minhash_lsh" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), toks2 AS (
+        |  SELECT doc_id, list_filter(toks, x -> x <> '') AS toks FROM w
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS s
+        |  FROM toks2
+        |), e AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter,
+        |    min(a.n_sh) AS na, min(b.n_sh) AS nb
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT ida, idb, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+        |FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.8""".stripMargin,
+    // simhash-banded + exact-Jaccard-verified == the exact pair relation
+    // (Hamming net structurally complete for ham<=7; Jaccard recall 1.0
+    // audited by app.OracleCheck and asserted by DedupSpec) — same oracle
+    // as q_ngram_jaccard/q_minhash_lsh
+    "q_simhash" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' ') AS toks
         |  FROM documents

@@ -24,15 +24,9 @@ object BuildMain {
     val master = if (args.length > 2) args(2) else s"local[${Runtime.getRuntime.availableProcessors()}]"
     val seed = if (args.length > 3) args(3).toLong else Corpus.DefaultSeed
 
-    val spark = SparkSession.builder()
-      .master(master)
-      .appName("graft-kg-build")
-      .config("spark.sql.shuffle.partitions",
-        math.max(Runtime.getRuntime.availableProcessors(), 8).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+    val spark = graft.core.Sessions.builder(master, "graft-kg-build",
+        math.max(Runtime.getRuntime.availableProcessors(), 8))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

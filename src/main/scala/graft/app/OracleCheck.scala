@@ -19,12 +19,22 @@ object OracleCheck {
         .select("ida", "idb").cache()
       val mh = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3, numPerm = 16, bands = 4, threshold = 0.8)
         .select("ida", "idb")
-      val sh = Dedup.simhashVerifiedPairs(docs, "doc_id", "text", k = 3, threshold = 0.8, maxHamming = 3)
+      val sh = Dedup.simhashVerifiedPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
         .select("ida", "idb")
       val nEx = exact.count()
+      // diagnostic: simhash Hamming distribution over the TRUE pair set —
+      // tells us what maxHamming net the verified variant needs
+      val sig = docs.select(col("doc_id").as("id"),
+        udf((t: String) => graft.functions.TextFns.simhash64(t)).apply(col("text")).as("sig"))
+      val hams = exact
+        .join(sig.select(col("id").as("ida"), col("sig").as("sa")), Seq("ida"))
+        .join(sig.select(col("id").as("idb"), col("sig").as("sb")), Seq("idb"))
+        .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("h"))
+        .agg(max(col("h")).as("max_h"), avg(col("h")).as("avg_h")).collect()(0)
       println(s"[oraclecheck] $sf exact=$nEx" +
         s" mh_missing=${exact.exceptAll(mh).count()} mh_spurious=${mh.exceptAll(exact).count()}" +
-        s" sh_missing=${exact.exceptAll(sh).count()} sh_spurious=${sh.exceptAll(exact).count()}")
+        s" sh_missing=${exact.exceptAll(sh).count()} sh_spurious=${sh.exceptAll(exact).count()}" +
+        f" exact_pair_hamming(max=${hams.getInt(0)} avg=${hams.getDouble(1)}%.1f)")
     }
     spark.stop()
   }

@@ -11,15 +11,7 @@ object ProfileMain {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 6000L
     val cores = if (args.length > 1) args(1).toInt else 32
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-profile-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local(cores, s"graft-profile-$cores")
     val t0 = System.nanoTime()
     val n = BuildPipeline.run(Corpus.docs(spark, nDocs), new DeterministicExtractor).triples.count()
     println(f"[profile] cores=$cores docs=$nDocs triples=$n total=${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -33,41 +33,49 @@ object ScalingBench {
   private def session(cores: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val b = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-    // diagnostic toggles for scaling experiments:
-    //   GRAFT_NO_AUTOBROADCAST=1 — driver-side broadcast construction is
-    //     single-threaded and corpus-proportional (a non-scaling component
-    //     in BOTH legs); forcing shuffle joins moves that work onto the
-    //     executors where it scales with cores
-    //   GRAFT_SHM_LOCALDIR=1 — shuffle scratch on tmpfs, taking the shared
-    //     single disk out of the cross-leg comparison
-    sys.env.get("GRAFT_NO_AUTOBROADCAST").foreach(_ =>
-      b.config("spark.sql.autoBroadcastJoinThreshold", "-1"))
-    sys.env.get("GRAFT_SHM_LOCALDIR").foreach { _ =>
-      new java.io.File("/dev/shm/spark-graft").mkdirs()
-      b.config("spark.local.dir", "/dev/shm/spark-graft")
-    }
-    val s = b.getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
+    // graft.core.Sessions carries the shared engine tuning (memory-map
+    // threshold, Kryo, tmpfs toggle); the build-path SQL tuning (no
+    // auto-broadcast, hash joins/aggs) is set by BuildPipeline.run itself.
+    graft.core.Sessions.local(cores, s"graft-scaling-$cores")
   }
 
-  private def build(spark: SparkSession, nDocs: Long): (Double, Long) = {
+  /** Occupancy probe: jobs / stages / summed task wall — distinguishes
+    * "cores idle between stages" (low occupancy => scheduling/barrier F)
+    * from "tasks themselves slow" (high occupancy => W or contention). */
+  private class BuildStats extends org.apache.spark.scheduler.SparkListener {
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      taskMs.addAndGet(e.taskInfo.duration); tasks.incrementAndGet(); ()
+    }
+    override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      { stages.incrementAndGet(); () }
+    override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      { jobs.incrementAndGet(); () }
+  }
+
+  private def build(spark: SparkSession, nDocs: Long, cores: Int = 0): (Double, Long) = {
+    val stats = new BuildStats
+    spark.sparkContext.addSparkListener(stats)
     val t0 = System.nanoTime()
     val triples = BuildPipeline
       .run(Corpus.docs(spark, nDocs), new DeterministicExtractor)
       .triples.count()
-    ((System.nanoTime() - t0) / 1e9, triples)
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(stats)
+    if (cores > 0)
+      println(f"[scaling-occ] cores=$cores jobs=${stats.jobs.get} stages=${stats.stages.get} " +
+        f"tasks=${stats.tasks.get} taskSum=${stats.taskMs.get / 1000.0}%.1fs " +
+        f"occupancy=${stats.taskMs.get / 1000.0 / (wall * cores)}%.2f")
+    (wall, triples)
   }
 
   /** Fixed total CPU work in 256 independent tasks — the hardware ceiling
-    * probe. Work per task ~0.4 s single-core. */
+    * probe. ~0.4 s of work per task single-core: long enough that the
+    * probe measures CPU availability rather than task-scheduling latency
+    * (a too-small probe made the measured ceiling noise-dominated). */
   private def calibrate(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 256L, 1L, 256).rdd.mapPartitions { it =>
@@ -75,7 +83,7 @@ object ScalingBench {
       else {
         var h = 0x9e3779b97f4a7c15L + it.next()
         var i = 0
-        while (i < 60000000) { h = (h ^ (h >>> 31)) * 0xff51afd7ed558ccdL; i += 1 }
+        while (i < 400000000) { h = (h ^ (h >>> 31)) * 0xff51afd7ed558ccdL; i += 1 }
         Iterator.single(h)
       }
     }.count()
@@ -99,7 +107,7 @@ object ScalingBench {
     val spark = session(cores)
     build(spark, 1000L) // JIT/codegen warmup, untimed
     val calib = calibrate(spark)
-    val (secs, triples) = build(spark, nDocs)
+    val (secs, triples) = build(spark, nDocs, cores)
     spark.stop()
     println(f"[scaling] level local[$cores] (visible procs=$visible): build=$secs%.1fs calib=$calib%.1fs triples=$triples")
     java.nio.file.Files.write(java.nio.file.Paths.get(csv),
@@ -107,13 +115,22 @@ object ScalingBench {
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
+  /** Generation tag stamped into every appended row: ties a measurement to
+    * the methodology + engine era that produced it, so Bench.scalingSummary
+    * never mixes rows from different engine versions into one distribution
+    * (rows from older generations stay in the md for the record). Bump when
+    * the engine or methodology changes materially. */
+  val Generation = "g3"
+
   /** Summarize the csv produced by repeated [[runLevel]] calls: per-level
     * best-of (contention only adds time) plus the per-round PAIRED ratios
-    * (adjacent 8/32 legs of the same round), appended as a markdown row. */
+    * (adjacent 8/32 legs of the same round), appended as a markdown row
+    * stamped with [[Generation]] and the building commit (GRAFT_COMMIT). */
   private def summarize(csv: String, out: Option[String]): Unit = {
-    val rows = scala.io.Source.fromFile(csv).getLines().map(_.split(",")).collect {
+    val src = scala.io.Source.fromFile(csv)
+    val rows = try src.getLines().map(_.split(",")).collect {
       case Array(c, n, s, cal, _*) => (c.toInt, n.toLong, s.toDouble, cal.toDouble)
-    }.toVector
+    }.toVector finally src.close()
     val nDocs = rows.head._2
     val t8 = rows.filter(_._1 == 8).map(_._3)
     val t32 = rows.filter(_._1 == 32).map(_._3)
@@ -126,8 +143,9 @@ object ScalingBench {
     val pairedHw = c8.zip(c32).map { case (a, b) => a / b }
     println(f"[scaling] docs=$nDocs rounds=${paired.size} paired speedups=${paired.map(x => f"$x%.2f").mkString(",")} (hw ceilings ${pairedHw.map(x => f"$x%.2f").mkString(",")})")
     println(f"[scaling] best-of: local[8]=$bestT8%.1fs local[32]=$bestT32%.1fs speedup=$engineSpeedup%.2fx hw=$hwSpeedup%.2fx raw=${engineSpeedup / 4.0}%.2f norm=${engineSpeedup / hwSpeedup}%.2f")
+    val commit = sys.env.getOrElse("GRAFT_COMMIT", "unknown")
     val line =
-      f"| $nDocs | local[8]: $bestT8%.1fs (${nDocs / bestT8}%.1f docs/s) | local[32]: $bestT32%.1fs (${nDocs / bestT32}%.1f docs/s) | $engineSpeedup%.2fx | $hwSpeedup%.2fx | ${engineSpeedup / 4.0}%.2f | ${engineSpeedup / hwSpeedup}%.2f | affinity-isolated JVMs; paired ratios ${paired.map(x => f"$x%.2f").mkString("/")} |"
+      f"| $nDocs | local[8]: $bestT8%.1fs (${nDocs / bestT8}%.1f docs/s) | local[32]: $bestT32%.1fs (${nDocs / bestT32}%.1f docs/s) | $engineSpeedup%.2fx | $hwSpeedup%.2fx | ${engineSpeedup / 4.0}%.2f | ${engineSpeedup / hwSpeedup}%.2f | gen=$Generation commit=$commit affinity-isolated JVMs; paired ratios ${paired.map(x => f"$x%.2f").mkString("/")} |"
     println(line)
     out.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p), (line + "\n").getBytes,

@@ -39,7 +39,8 @@ object Communities {
       communityEdges: DataFrame, // level-1 EdgeRow-shaped
       communityProperties: DataFrame, // PropertyRow-shaped (findings)
       docNodes: DataFrame, // level-2 NodeRow-shaped
-      docProperties: DataFrame) // keyword properties of doc nodes
+      docProperties: DataFrame, // keyword properties of doc nodes
+      cleanup: () => Unit = () => ()) // frees comps/membership persists
 
   // ids are codegen built-ins (Ids.idCol), not UDFs — see core/Schema.scala
   private def commIdUdf(doc: Column, minMember: Column): Column =
@@ -69,9 +70,9 @@ object Communities {
     val edgePairs = edges.toDF().select(
       element_at(col("metadata"), 1).getField("document_id").as("key"),
       col("frm").as("a"), col("to").as("b"))
-    val comps = ConnectedComponents.runPerKey(vertices, edgePairs)
-      .select(col("key").as("doc_id"), col("v").as("node_id"), col("component"))
-      .localCheckpoint(true)
+    val comps = graft.core.Materialize.eager(
+      ConnectedComponents.runPerKey(vertices, edgePairs)
+        .select(col("key").as("doc_id"), col("v").as("node_id"), col("component")))
 
     // Leiden-style refinement inside each component (components are
     // per-document entity graphs — small — so this is a local flatMapGroups,
@@ -101,9 +102,9 @@ object Communities {
       .select(col("doc_id"), col("sub_component"),
         commIdUdf(col("doc_id"), col("min_member")).as("community_id"))
 
-    val membership = refined.join(commIds, Seq("doc_id", "sub_component"))
-      .select(col("doc_id"), col("node_id"), col("community_id"))
-      .localCheckpoint(true)
+    val membership = graft.core.Materialize.eager(
+      refined.join(commIds, Seq("doc_id", "sub_component"))
+        .select(col("doc_id"), col("node_id"), col("community_id")))
 
     // --- level-0 nodes annotated with their community ---------------------
     val nodesWithCommunity = n0
@@ -202,7 +203,8 @@ object Communities {
       communityEdges,
       communityProperties,
       docNodes.drop("doc_id"),
-      docProperties)
+      docProperties,
+      () => { comps.unpersist(blocking = false); membership.unpersist(blocking = false) })
   }
 
   /** F5 — community CSV rendering (reference

@@ -25,3 +25,27 @@ object Par {
   def await[T](f: scala.concurrent.Future[T]): T =
     scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
 }
+
+/** Materialize-once for INTERNAL multi-consumer intermediates: eager
+  * persist instead of localCheckpoint. Same barrier semantics, two
+  * differences that matter in a shared local-mode heap:
+  *   1. blocks are freed DETERMINISTICALLY by `unpersist()` (stage cleanup
+  *      hooks) — localCheckpoint blocks wait for driver-GC + ContextCleaner
+  *      and pin memory for the whole build;
+  *   2. lineage stays intact, so freeing early is always SAFE — a late
+  *      consumer recomputes from the upstream checkpoint instead of
+  *      crashing on missing checkpoint blocks.
+  */
+object Materialize {
+  def eager(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count(), NOT foreachPartition: foreachPartition is a typed action that
+    // deserializes every InternalRow to an external Row (GenerateSafeProjection
+    // per row — jstack showed all workers blocked on its codegen lock, then
+    // paying object conversion for every wide metadata row). count() plans a
+    // codegen aggregate over the persisted scan and populates the cache as a
+    // side effect, no row conversion.
+    p.count()
+    p
+  }
+}

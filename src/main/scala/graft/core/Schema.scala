@@ -130,8 +130,15 @@ object Ids {
     new String(out)
   }
 
-  /** Column twin of [[of]] — same bytes, same hex, zero UDF. */
-  def idCol(parts: Column*): Column = md5(concat_ws(Sep, parts: _*))
+  /** Column twin of [[of]] — same bytes, same hex, zero UDF. `concat_ws`
+    * silently SKIPS null columns (id of (a, null, b) would equal id of
+    * (a, b) — a cross-arity collision), while [[of]] renders a null part
+    * as the string "null"; coalescing each part keeps the two paths
+    * byte-identical on degenerate input. */
+  def idCol(parts: Column*): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    md5(concat_ws(Sep, parts.map(p => coalesce(p.cast("string"), lit("null"))): _*))
+  }
 
   def nodeId(docId: String, nameNorm: String, level: Int): String =
     of("node", docId, nameNorm, level.toString)

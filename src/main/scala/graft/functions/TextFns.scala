@@ -62,8 +62,25 @@ object TextFns {
   // identical at the >=95 threshold for the subset-alias cases that matter).
   // ---------------------------------------------------------------------
 
-  def normTokens(s: String): Array[String] =
-    s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split("\\s+").filter(_.nonEmpty).sorted
+  // Precompiled: String.replaceAll/split compile their Pattern on EVERY
+  // call — normTokens runs twice per candidate pair in the linking hot
+  // path (tens of millions of calls per build).
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** Lowercased word tokens via the precompiled pattern (String.split(regex)
+    * recompiles per call; these run per row across the corpus). */
+  private def splitNonAlnum(text: String): Array[String] =
+    NonAlnum.split(text.toLowerCase).filter(_.nonEmpty)
+
+  def normTokens(s: String): Array[String] = {
+    val cleaned = NonAlnum.matcher(s.toLowerCase).replaceAll(" ").trim
+    if (cleaned.isEmpty) Array.empty[String]
+    else {
+      val out = cleaned.split(' ')
+      java.util.Arrays.sort(out.asInstanceOf[Array[AnyRef]])
+      out
+    }
+  }
 
   private def levenshtein(a: String, b: String): Int = {
     if (a.isEmpty) return b.length
@@ -103,6 +120,10 @@ object TextFns {
     if (ta.isEmpty && tb.isEmpty) return 100
     val sa = ta.toSet
     val sb = tb.toSet
+    // subset/equal token sets score 100 exactly (s1 == inter == one of the
+    // combined strings) — the dominant alias case in the linking hot path;
+    // returning early skips three Levenshtein runs per pair
+    if (sa.subsetOf(sb) || sb.subsetOf(sa)) return 100
     val inter = (sa intersect sb).toArray.sorted.mkString(" ")
     val da = (sa diff sb).toArray.sorted.mkString(" ")
     val db = (sb diff sa).toArray.sorted.mkString(" ")
@@ -125,7 +146,7 @@ object TextFns {
   def embed(text: String): Array[Float] = {
     val v = new Array[Float](EmbedDim)
     if (text != null) {
-      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val toks = splitNonAlnum(text)
       var i = 0
       while (i < toks.length) {
         val h = toks(i).hashCode
@@ -194,7 +215,7 @@ object TextFns {
   def simhash64(text: String): Long = {
     val acc = new Array[Int](64)
     val toks = if (text == null) Array.empty[String]
-      else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      else splitNonAlnum(text)
     var i = 0
     while (i < toks.length) {
       val h = fnv1a64(toks(i))
@@ -214,7 +235,7 @@ object TextFns {
   /** Word-level k-shingles ("a b c" windows) for minhash/jaccard. */
   def shingles(text: String, k: Int): Array[String] = {
     val toks = if (text == null) Array.empty[String]
-      else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      else splitNonAlnum(text)
     if (toks.length < k) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
     else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).toArray
   }

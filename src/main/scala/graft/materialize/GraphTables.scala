@@ -30,12 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object GraphTables {
 
+  /** `cleanup` unpersists the two internal materializations (the node map
+    * and the endpoint-resolution join) — call once the downstream table
+    * checkpoints exist. Safe at any point: they are eager PERSISTS with
+    * intact lineage, so a late consumer recomputes instead of failing. */
   case class Materialized(
       nodes: Dataset[NodeRow],
       edges: Dataset[EdgeRow],
       properties: Dataset[PropertyRow],
       triples: DataFrame, // (doc_id, subj, pred, obj) distinct, canonical
-      droppedEdges: DataFrame) // (doc_id, chunk_id, source, target, relationship)
+      droppedEdges: DataFrame, // (doc_id, chunk_id, source, target, relationship)
+      cleanup: () => Unit)
 
   /** Provenance struct incl. visual origin (reference MetadataVisual,
     * persistence/metadata.py:10-22): mentions sourced from a table/figure
@@ -83,6 +88,14 @@ object GraphTables {
     val spark = logs.sparkSession
     import spark.implicits._
 
+    def timed[T](what: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val out = body
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        System.err.println(f"[mat-timing] $what%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      out
+    }
+
     // ---- node mentions → nodes ---------------------------------------
     val mentions = logs
       .select(col("doc_id"), col("chunk_id"), col("is_visual"),
@@ -117,8 +130,8 @@ object GraphTables {
         col("doc_id"), col("canonical_norm"))
     // materialized once: consumed as the nodes table AND as the endpoint
     // resolution map for edges/properties. Independent of the edge-mention
-    // resolution below — the two checkpoints overlap (Par).
-    val nodesF = Par.fork(spark)(nodesPlan.localCheckpoint(true))
+    // resolution below — the two materializations overlap (Par).
+    val nodesF = Par.fork(spark)(timed("nodes_map")(graft.core.Materialize.eager(nodesPlan)))
 
     lazy val nodes = Par.await(nodesF)
     lazy val nodeKeys = nodes.select(col("doc_id").as("nk_doc"), col("canonical_norm").as("nk_name"),
@@ -134,13 +147,12 @@ object GraphTables {
         lower(trim(col("e.source"))).as("src_norm"), lower(trim(col("e.target"))).as("dst_norm"))
 
     // materialized once: dropped/triples/edges all branch from this join
-    val resolved = resolveNames(
+    val resolved = timed("edge_resolve")(graft.core.Materialize.eager(resolveNames(
         resolveNames(edgeMentions, mapping, "src_norm", "s"), mapping, "dst_norm", "d")
       .withColumnRenamed("s_canon_norm", "src_canon_norm")
       .withColumnRenamed("s_canon", "src_canon")
       .withColumnRenamed("d_canon_norm", "dst_canon_norm")
-      .withColumnRenamed("d_canon", "dst_canon")
-      .localCheckpoint(true)
+      .withColumnRenamed("d_canon", "dst_canon")))
 
     val droppedEdges = resolved
       .filter(col("src_canon_norm").isNull || col("dst_canon_norm").isNull)
@@ -212,6 +224,7 @@ object GraphTables {
       edges.as[EdgeRow],
       properties.as[PropertyRow],
       triples,
-      droppedEdges)
+      droppedEdges,
+      () => { nodes.unpersist(blocking = false); resolved.unpersist(blocking = false) })
   }
 }

@@ -16,50 +16,74 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: hash-groupBy, canonical survivor = min id.
-    * Returns (id, content_hash, group_size, keep). */
+    * Returns (id, content_hash, group_size, keep).
+    *
+    * groupBy-aggregate + rejoin rather than windows over `content_hash`: at
+    * 100 TB a handful of hashes (boilerplate/empty documents) are
+    * astronomically hot, and a window partition ships every duplicate row
+    * to ONE task; the aggregate is partial-aggregation-friendly (map-side
+    * combine collapses each hot hash to one row per map task) and the
+    * rejoin shuffles the tiny (hash, size, min) relation. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = md5(col(textCol))
-    df.select(col(idCol).as("id"), h.as("content_hash"))
-      .withColumn("group_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
-      .withColumn("keep", col("id") === min(col("id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
+    val hashed = df.select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
+    val groups = hashed.groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("group_size"), min(col("id")).as("min_id"))
+    hashed.join(groups, Seq("content_hash"))
+      .select(col("id"), col("content_hash"), col("group_size"),
+        (col("id") === col("min_id")).as("keep"))
   }
 
   private val shinglesUdf = udf((t: String, k: Int) => TextFns.shingles(t, k).distinct)
   private val minhashUdf = udf((t: String, k: Int, p: Int) => TextFns.minhash(t, k, p))
   private val simhashUdf = udf((t: String) => TextFns.simhash64(t))
-  private val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+
+  /** Per-doc distinct k-shingle sets, computed ONCE per corpus: every
+    * verification path joins against this instead of re-shingling both
+    * documents per candidate pair (O(pairs x doc length) repeated work). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))
+
+  /** Exact-Jaccard verification of candidate (ida, idb) pairs against the
+    * pre-computed full shingle sets — `array_intersect`/`size` built-ins,
+    * whole-stage-codegen, no per-pair re-shingling. */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cands.select("ida", "idb")
+      .join(sets.select(col("id").as("ida"), col("sh").as("sha")), Seq("ida"))
+      .join(sets.select(col("id").as("idb"), col("sh").as("shb")), Seq("idb"))
+      .withColumn("jaccard",
+        round(inter / (size(col("sha")) + size(col("shb")) - inter), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+  }
 
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs >= threshold.
     *
     * Blocked self-join on shingles: candidate pair volume is
     * sum(df(shingle)^2); shingles more frequent than `maxShingleDf` docs are
     * excluded from *candidate generation* (a pair that only shares
-    * ultra-common shingles cannot reach a high Jaccard), but set sizes for
-    * the Jaccard denominator always use the full shingle sets, so reported
-    * similarities are exact. Pass maxShingleDf=0 to disable the cap (small
+    * ultra-common shingles cannot reach a high Jaccard). The cap prunes
+    * CANDIDATES only — every surviving pair is re-verified against the FULL
+    * shingle sets, so the reported Jaccard (numerator included) is exact
+    * regardless of the cap. Pass maxShingleDf=0 to disable the cap (small
     * data / oracle-parity mode). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 0L): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val ex = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("g"))
+    val sets = shingleSets(df, idCol, textCol, k)
+    val ex = sets.select(col("id"), explode(col("sh")).as("g"))
     val blocked =
       if (maxShingleDf > 0) {
         val hot = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
           .filter(col("df_g") > maxShingleDf).select("g")
         ex.join(broadcast(hot), Seq("g"), "left_anti")
       } else ex
-    val a = blocked.select(col("g"), col("id").as("ida"), col("n_sh").as("na"))
-    val b = blocked.select(col("g").as("g2"), col("id").as("idb"), col("n_sh").as("nb"))
-    a.join(b, col("g") === col("g2") && col("ida") < col("idb"))
-      .groupBy(col("ida"), col("idb"))
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"), round(col("jaccard"), 4).as("jaccard"))
+    val a = blocked.select(col("g"), col("id").as("ida"))
+    val b = blocked.select(col("g").as("g2"), col("id").as("idb"))
+    val cands = a.join(b, col("g") === col("g2") && col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    verifyJaccard(cands, sets, threshold)
   }
 
   /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
@@ -69,12 +93,11 @@ object Dedup {
                       k: Int = 3, numPerm: Int = 16, bands: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
     val rows = numPerm / bands
-    val txt = df.select(col(idCol).as("id"), col(textCol).as("text"))
     val sig = df.select(col(idCol).as("id"),
       minhashUdf(col(textCol), lit(k), lit(numPerm)).as("sig"))
     // band value = hash of its slice of the signature; candidates carry only
-    // (band, bh, id) — texts rejoin after the pair-distinct, so the heavy
-    // payload never rides the candidate shuffle
+    // (band, bh, id) — shingle sets rejoin after the pair-distinct, so the
+    // heavy payload never rides the candidate shuffle
     val withBands = sig.select(col("id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, hash(slice(sig, b*$rows+1, $rows)) as bh))")).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
@@ -82,32 +105,32 @@ object Dedup {
     val r = withBands.select(col("band").as("band2"), col("bh").as("bh2"), col("id").as("idb"))
     val cands = l.join(r, col("band") === col("band2") && col("bh") === col("bh2") && col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-      .join(txt.select(col("id").as("ida"), col("text").as("ta")), Seq("ida"))
-      .join(txt.select(col("id").as("idb"), col("text").as("tb")), Seq("idb"))
-    val jacc = udf((a: String, b: String) => {
-      val sa = TextFns.shingles(a, k).toSet
-      val sb = TextFns.shingles(b, k).toSet
-      if (sa.isEmpty && sb.isEmpty) 1.0
-      else (sa intersect sb).size.toDouble / (sa union sb).size
-    })
-    cands.withColumn("jaccard", round(jacc(col("ta"), col("tb")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("ida", "idb", "jaccard")
+    verifyJaccard(cands, shingleSets(df, idCol, textCol, k), threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit simhash, blocked by 4 x 16-bit bands
-    * (any pair within Hamming distance 3 must agree on >= 1 band), verified
-    * by exact Hamming distance. */
+  /** SimHash near-dup pairs: 64-bit simhash split into `64/bandBits` bands
+    * (pigeonhole: any pair within Hamming distance `bands-1` must agree on
+    * >= 1 band, so blocking recall for the Hamming criterion is structurally
+    * 1.0 whenever maxHamming <= 64/bandBits - 1), verified by exact Hamming
+    * distance. Default 4 x 16-bit bands covers the classic maxHamming=3;
+    * bandBits=8 gives 8 bands covering maxHamming<=7 at the cost of more
+    * candidates (the 100 TB trade-off knob). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bandBits: Int = 16): DataFrame = {
+    require(64 % bandBits == 0, s"bandBits must divide 64, got $bandBits")
+    val bands = 64 / bandBits
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs >= ${maxHamming + 1} bands (pigeonhole); got $bands")
+    val mask = (1L << bandBits) - 1
     val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b as band, shiftright(sig, b*16) & 65535 as bv))")).as("bb"))
+      explode(expr(s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, shiftright(sig, b*$bandBits) & ${mask}L as bv))")).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bv"))
     val l = banded.select(col("band"), col("bv"), col("id").as("ida"), col("sig").as("sa"))
     val r = banded.select(col("band").as("band2"), col("bv").as("bv2"), col("id").as("idb"), col("sig").as("sb"))
     l.join(r, col("band") === col("band2") && col("bv") === col("bv2") && col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), hammingUdf(col("sa"), col("sb")).as("hamming"))
+      .select(col("ida"), col("idb"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -117,24 +140,24 @@ object Dedup {
     * are verified against the true k-shingle Jaccard (>= threshold) rather
     * than the Hamming proxy — the production shape when downstream needs a
     * guaranteed-exact similarity, and oracle-checkable because the output
-    * is a subset of the exact pair relation. */
+    * is a subset of the exact pair relation. The wide default Hamming net
+    * (maxHamming=15 over 16x4-bit bands) exists because simhash Hamming is
+    * a PROXY for Jaccard: at J=0.8 the expected differing-bit count is
+    * already ~64*(1-J)/(1+J) ~ 7 with a long tail (measured max 13 over
+    * the audited corpora's true pair sets — OracleCheck prints the
+    * distribution), so a tight net drops real pairs. The trade-off is
+    * candidate volume (4-bit bands bucket n/16 docs each): the RIGHT tool
+    * at 100 TB for J~0.8 is minhash LSH; simhash with narrow bands
+    * ([[simhashPairs]]'s 16-bit default) is the near-duplicate detector
+    * for ham<=3 / J>=0.95 territory. This verified variant is audited
+    * recall 1.0 vs the exact pair set (OracleCheck + the OpsSpec
+    * exact-set test). */
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, threshold: Double = 0.8,
-                           maxHamming: Int = 3): DataFrame = {
-    val txt = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val jacc = udf((a: String, b: String) => {
-      val sa = TextFns.shingles(a, k).toSet
-      val sb = TextFns.shingles(b, k).toSet
-      if (sa.isEmpty && sb.isEmpty) 1.0
-      else (sa intersect sb).size.toDouble / (sa union sb).size
-    })
-    simhashPairs(df, idCol, textCol, maxHamming).select("ida", "idb")
-      .join(txt.select(col("id").as("ida"), col("text").as("ta")), Seq("ida"))
-      .join(txt.select(col("id").as("idb"), col("text").as("tb")), Seq("idb"))
-      .withColumn("jaccard", round(jacc(col("ta"), col("tb")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("ida", "idb", "jaccard")
-  }
+                           maxHamming: Int = 15, bandBits: Int = 4): DataFrame =
+    verifyJaccard(
+      simhashPairs(df, idCol, textCol, maxHamming, bandBits).select("ida", "idb"),
+      shingleSets(df, idCol, textCol, k), threshold)
 
   /** Near-dup **clustering with survivor selection** — what a training
     * pipeline actually executes after pair generation: near-dup pairs form

@@ -85,19 +85,20 @@ object Similarity {
     * scores exact cosine only inside them. At 100 TB: one sample scan + one
     * assignment scan; the probe join touches nProbe/nLists of the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 4, iterations: Int = 3,
+              nLists: Int = 16, nProbe: Int = 8, iterations: Int = 5,
               seed: Long = 7L, maxTrainSample: Int = 4096): DataFrame = {
     val c = corpus.select(col("id"), col("vec").as("cv"))
 
     // bounded deterministic sample: keep rows whose uniform 63-bit hash
-    // falls under frac * Long.MaxValue (expected ~maxTrainSample rows).
+    // (unsigned shift — abs() would map Long.MinValue to itself) falls
+    // under frac * Long.MaxValue (expected ~maxTrainSample rows).
     // The count is a narrow single-column scan; the sample is sorted by id
     // driver-side so the trainer is order-independent of partitioning.
     val n = math.max(c.count(), 1L)
     val frac = math.min(1.0, maxTrainSample.toDouble / n)
     val bound = (frac * Long.MaxValue).toLong
     val sample: Array[(String, Array[Float])] = c
-      .where(abs(xxhash64(col("id").cast("string"), lit(seed))) <= lit(bound))
+      .where(shiftrightunsigned(xxhash64(col("id").cast("string"), lit(seed)), 1) <= lit(bound))
       .select(col("id").cast("string"), col("cv")).collect()
       .map(r => (r.getString(0), r.getAs[Seq[Float]](1).toArray))
       .sortBy(_._1)
@@ -106,7 +107,33 @@ object Similarity {
     // driver-local Lloyd over <= ~maxTrainSample vectors (cosine distance);
     // empty clusters keep their previous centroid. Fewer sample rows than
     // nLists simply trains fewer lists.
-    var centroids: Array[Array[Float]] = train.take(nLists)
+    // Seeding: deterministic farthest-point (kmeans++-style) — the first
+    // sample vector, then repeatedly the vector farthest (min cosine) from
+    // every chosen seed. Spread-out seeds cut the recall loss of Lloyd
+    // converging onto adjacent centroids (raised recall@5 at nProbe=6
+    // measurably vs take(nLists) seeding).
+    var centroids: Array[Array[Float]] =
+      if (train.length <= nLists) train.take(nLists)
+      else {
+        val seeds = scala.collection.mutable.ArrayBuffer(train.head)
+        val minCos = Array.fill(train.length)(Double.MaxValue)
+        val chosen = Array.fill(train.length)(false)
+        chosen(0) = true
+        while (seeds.length < nLists) {
+          var i = 0
+          var farIdx = -1
+          var farCos = Double.MaxValue
+          while (i < train.length) {
+            val cs = TextFns.cosine(seeds.last, train(i))
+            if (cs < minCos(i)) minCos(i) = cs
+            if (!chosen(i) && minCos(i) < farCos) { farCos = minCos(i); farIdx = i }
+            i += 1
+          }
+          seeds += train(farIdx)
+          chosen(farIdx) = true
+        }
+        seeds.toArray
+      }
     var it = 0
     while (it < iterations && train.nonEmpty) {
       val sums = Array.fill(centroids.length)(new Array[Double](train.head.length))

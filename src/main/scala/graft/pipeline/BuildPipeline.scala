@@ -50,6 +50,35 @@ object BuildPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // Corpus-proportional intermediates must never be driver-broadcast:
+    // building + java-serializing an UnsafeHashedRelation is SINGLE-THREADED
+    // on the driver and stalls every executor while it runs (jstack at 96k
+    // docs: one broadcast-exchange thread RUNNABLE, all workers parked) —
+    // a non-scaling cost that grows with the corpus on a real cluster too.
+    // Shuffle joins on the build's doc-scoped keys scale with cores.
+    // Explicit broadcast() hints (genuinely tiny query-side tables) are
+    // unaffected by the threshold.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // The build's equi-joins all key on (doc_id[, chunk_id], name): the
+    // probe side is the wide mention stream, the build side the slim
+    // mapping/node-key relations. ShuffledHashJoin streams the probe side
+    // unsorted; SortMergeJoin would SORT the wide side in every join —
+    // at 32 concurrent sort tasks that saturates memory bandwidth long
+    // before CPU (measured: the materialize stages ran 15 s on 8 cores vs
+    // ~175 s on 32 in adjacent windows under SMJ).
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    // ...but static SHJ eligibility is derived from autoBroadcastJoinThreshold
+    // (disabled above), so the actual conversion happens at RUNTIME: AQE
+    // rewrites an SMJ to a shuffled hash join whenever the accurate runtime
+    // per-partition build-side size is under this threshold. 128 MB per
+    // partition comfortably holds the mapping/node-key build sides.
+    spark.conf.set("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "134217728")
+    // collect_set aggregations (provenance metadata) use ObjectHashAggregate,
+    // which silently falls back to SORT-based aggregation after 128
+    // in-memory groups (default threshold) — same bandwidth wall. Groups
+    // here are per-(doc, name) and small; keep the agg hash-based.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+
     // Without a work dir, a stage is materialized (eager localCheckpoint)
     // only when >= 2 downstream consumers would otherwise recompute its
     // lineage (the reference materializes its BuildLog list for the same
@@ -97,7 +126,12 @@ object BuildPipeline {
     val logsT = logs.as[ExtractionLog]
 
     // --- linking + canonicalization (J4/J5/L7/L11) --------------------------
-    val mapping = stage("mapping")(Linker.canonicalMapping(logsT))
+    val link = Linker.canonicalMappingResult(logsT)
+    val mapping = stage("mapping")(link.mapping)
+    // the mapping checkpoint exists now — free the linker's internal
+    // materializations (names/resolved/ambiguous) so they stop competing
+    // for executor memory with the materialize/community stages
+    link.cleanup()
 
     // --- materialize level-0 graph (G1) -------------------------------------
     // GraphTables.build materializes the shared resolution lineage once;
@@ -132,6 +166,11 @@ object BuildPipeline {
       props0.unionByName(layer.communityProperties).unionByName(layer.docProperties)
     })
     val (nodes, edges, properties) = (await(nodesF), await(edgesF), await(propertiesF))
+    // all downstream tables are checkpointed (or derive from checkpoints) —
+    // free the materialize/community internals; late lazy consumers
+    // (dropped_edges without a work dir) recompute from the logs checkpoint
+    mat.cleanup()
+    layer.cleanup()
 
     // --- documents registry (S6) ---------------------------------------------
     val documents = stage("documents", shared = false) {

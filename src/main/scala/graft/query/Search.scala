@@ -106,14 +106,20 @@ object Search {
     * parent names; parents resolved by (document, name) that are
     * `is_visual` level-0 nodes are returned, deduped. The hit set is
     * top-k small → broadcast; the node probe is an equi-join on the
-    * doc-scoped name key. */
+    * doc-scoped name key.
+    *
+    * "Carries visual metadata" means ANY provenance entry has a visual
+    * (reference inspects an arbitrary set member, quick_search.py:100-102);
+    * metadata is array_sort'd and visual entries carry the largest
+    * chunk_ids, so probing only the FIRST entry would silently exclude
+    * every hit that is also mentioned in a normal text chunk. */
   def suitableVisuals(enriched: DataFrame, nodes: DataFrame, edges: DataFrame,
                       properties: DataFrame): DataFrame = {
     val metaOf = nodes.select(col("id"), col("metadata"))
       .unionByName(edges.select(col("id"), col("metadata")))
       .unionByName(properties.select(col("id"), col("metadata")))
     val visualHitParents = broadcast(enriched).join(metaOf, Seq("id"))
-      .filter(element_at(col("metadata"), 1).getField("visual").isNotNull)
+      .filter(exists(col("metadata"), m => m.getField("visual").isNotNull))
       .select(col("document_id"),
         explode(col("parent_names")).as("pname"))
       .select(col("document_id"), lower(trim(col("pname"))).as("pname_norm"))
@@ -122,10 +128,34 @@ object Search {
       col("pname_norm").as("vh_name"))
     nodes.filter(col("is_visual") && col("level") === 0)
       .withColumn("node_doc", element_at(col("metadata"), 1).getField("document_id"))
+      .withColumn("media_ref",
+        element_at(filter(col("metadata"), m => m.getField("visual").isNotNull), 1)
+          .getField("visual").getField("media_ref"))
       .join(broadcast(vh),
         col("node_doc") === col("vh_doc") && lower(trim(col("name"))) === col("vh_name"))
-      .select(col("id"), col("name"), col("description"), col("node_doc").as("document_id"))
+      .select(col("id"), col("name"), col("description"),
+        col("node_doc").as("document_id"), col("media_ref"))
       .distinct()
+  }
+
+  /** Visual CONTENT recovery — the reference inlines the table/figure text
+    * into provenance (`MetadataVisual.content`, persistence/metadata.py:10-22);
+    * our `MetaVisual` deliberately stores only the `media_ref` pointer
+    * (core/Schema.scala — inlining would copy the full visual text into
+    * every provenance entry at corpus scale). This join closes the loop:
+    * [[suitableVisuals]] results recover their text from the spans table by
+    * (document_id, media_ref). The visuals side is top-k small → broadcast;
+    * the spans scan prunes to media spans only. */
+  def visualContent(visuals: DataFrame, docs: DataFrame): DataFrame = {
+    val spans = docs.select(col("doc_id"), explode(col("spans")).as("s"))
+      .filter(col("s.media_ref") =!= "")
+      .select(col("doc_id"), col("s.media_ref").as("media_ref"),
+        col("s.text").as("content"))
+    broadcast(visuals).join(spans,
+        visuals("document_id") === spans("doc_id") &&
+          visuals("media_ref") === spans("media_ref"), "left")
+      .select(visuals("id"), visuals("name"), visuals("description"),
+        visuals("document_id"), visuals("media_ref"), col("content"))
   }
 
   case class RagAnswer(answer: String, sources: Seq[String])

@@ -152,4 +152,22 @@ class ChunkerSpec extends SparkSpec {
     assert(viaSpark === direct)
     assert(viaSpark.nonEmpty && !viaSpark.exists(_.doc_id == "d1"))
   }
+
+  test("estimator mirrors the reference cost/time formulas over the chunks table") {
+    import graft.pipeline.Estimator
+    // reference estimator.py:8-37 numbers: gpt-4o at 1M tokens ->
+    // (5 + 15/4) * 2.5 = 21.875
+    assert(Estimator.costIndication(1000000L, "gpt-4o") === 21.875)
+    assert(Estimator.costIndication(1000000L, "gpt-4o-mini") === 0.75)
+    intercept[IllegalArgumentException](Estimator.costIndication(1L, "nope"))
+    // estimator.py:39-78: 10 chunks, gpt-4o -> ceil(10/2)*4 + 10*4 + 10*4 = 100 s
+    assert(Estimator.timeIndication(10L, "gpt-4o") === "1.667 minutes")
+    assert(Estimator.timeIndication(2L, "gpt-4o") === "20 seconds")
+    val chunks = Seq(("d0", 0, "t", 120), ("d0", 1, "t", 80), ("d1", 0, "t", 50))
+      .toDF("doc_id", "chunk_id", "text", "token_num")
+    val e = Estimator.estimate(chunks, "gpt-4o")
+    assert(e.numChunks === 3L && e.totalTokens === 250L)
+    assert(e.estimatedCostUsd === Estimator.costIndication(250L, "gpt-4o"))
+    assert(Estimator.render(e).contains("parse 3 chunks, analyze 250 tokens"))
+  }
 }

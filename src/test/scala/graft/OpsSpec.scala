@@ -64,13 +64,37 @@ class OpsSpec extends SparkSpec {
     val queries = emb.filter(col("id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)
       .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, queries, 5, nLists = 16, nProbe = 4)
+    val ivf = Similarity.ivfTopK(emb, queries, 5, nLists = 16, nProbe = 8)
     val pairs = ivf.select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!pairs.exists { case (q, i) => q == i })
     assert(ivf.groupBy("qid").count().agg(max("count")).head().getLong(0) <= 5L)
     val recall = (bf intersect pairs).size.toDouble / bf.size
-    info(f"ivf recall@5 (nProbe=4/16): $recall%.3f")
-    assert(recall >= 0.5) // probing a quarter of the lists
+    info(f"ivf recall@5 (nProbe=8/16): $recall%.3f")
+    assert(recall >= 0.75) // farthest-point seeding + probing 8/16 lists
+  }
+
+  // The q_minhash_lsh / q_simhash DuckDB oracles assert output == the FULL
+  // exact pair relation. For minhash that banding recall is EMPIRICAL
+  // (candidate probability ~0.88 at J=0.8 with numPerm=16/bands=4), so the
+  // assumption is checked EXPLICITLY here on the driver's own verify corpus
+  // (sf0.01) — if a corpus ever drops recall below 1.0 this test fails
+  // rather than the oracle silently hash-mismatching. For simhash the
+  // Hamming<=15 net over 16x4-bit bands is structurally complete
+  // (pigeonhole) and only the Jaccard->Hamming step is empirical (measured
+  // max Hamming over true pairs: 8 at sf0.01, 13 at sf0.1 — OracleCheck).
+  test("sf0.01 oracle-recall audit: minhash and simhash equal the exact pair set") {
+    val d01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+    val exact = Dedup.ngramJaccardPairs(d01, "doc_id", "text", k = 3, threshold = 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashLshPairs(d01, "doc_id", "text", k = 3, numPerm = 16,
+        bands = 4, threshold = 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashVerifiedPairs(d01, "doc_id", "text", k = 3, threshold = 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(mh == exact, s"minhash banding recall < 1.0: missing ${(exact diff mh).take(5)}")
+    assert(sh == exact, s"simhash net recall < 1.0: missing ${(exact diff sh).take(5)}")
+    d01.unpersist()
   }
 
   test("dedup clusters: transitive pairs form one group, one survivor each") {

@@ -71,9 +71,18 @@ class SearchSpec extends SparkSpec {
     val idx = SearchIndex.build(m.nodes.toDF(), m.edges.toDF(), m.properties.toDF())
     val hits = Search.quickSearch(idx, "quarterly revenue trend figure")
     val enriched = Search.enrich(hits, m.nodes.toDF(), m.edges.toDF(), m.properties.toDF())
-    val visuals = Search.suitableVisuals(enriched, m.nodes.toDF(), m.edges.toDF(), m.properties.toDF())
-      .collect()
+    val visualsDf = Search.suitableVisuals(enriched, m.nodes.toDF(), m.edges.toDF(), m.properties.toDF())
+    val visuals = visualsDf.collect()
     assert(visuals.map(_.getAs[String]("name")).toSet === Set("Revenue Chart"))
+    assert(visuals.map(_.getAs[String]("media_ref")).toSet === Set("img://d1/fig-3.png"))
+    // content round-trip: media_ref joins back to the spans table and
+    // recovers the figure's text (reference MetadataVisual.content)
+    val docs = spark.createDataset(Seq(DocRow("d1", Seq(
+      Span(Kinds.Text, "intro text", "", 0),
+      Span(Kinds.Figure, "quarterly revenue trend by region", "img://d1/fig-3.png", 1)))))
+    val withContent = Search.visualContent(visualsDf, docs.toDF()).collect()
+    assert(withContent.map(_.getAs[String]("content")).toSet
+      === Set("quarterly revenue trend by region"))
     // node hits carry themselves as parent (reference quick_search.py:230)
     val nodeParents = enriched.filter(col("type") === "node" && col("subject") === "Revenue Chart")
       .select("parent_names").as[Seq[String]].collect()
