@@ -1,0 +1,93 @@
+#!/bin/bash
+# N-vs-4N executor scaling on a REAL local standalone cluster.
+#
+# The north rule's criterion is "the same job on a cluster of N and 4N
+# cores with >= 0.8 efficiency". The closest in-sandbox emulation is not
+# one JVM with 4x the threads — it is 4x the EXECUTORS: this script runs
+#
+#   leg 1: master + 1 worker  (taskset 0-7,   8 cores, one  8-core/10g executor)
+#   leg 4: master + 4 workers (taskset 8i..8i+7 each, four 8-core/10g executors)
+#
+# so scaling up multiplies worker JVMs — constant per-executor heap, own
+# G1 instance, own shuffle scratch, real netty shuffle between JVMs —
+# exactly how a real cluster grows. A single fat local[32] JVM instead
+# measures this VM's pathological large-process memory path (a 48 GiB
+# pre-touch costs 185 CPU-min of system time vs 4 s for 12 GiB) and a
+# 32-thread shared heap no real deployment has.
+#
+# The driver (ScalingBench) is unpinned, as a real driver is its own node;
+# it does planning only — nothing corpus-sized crosses it.
+#
+# Usage: scripts/scaling_cluster.sh [nDocs] [rounds] [outMd]
+set -e
+cd "$(dirname "$0")/.."
+NDOCS=${1:-96000}
+ROUNDS=${2:-5}
+OUT=${3:-BENCH/scaling_rows.md}
+CSV=$(mktemp /tmp/scaling_cluster.XXXX.csv)
+CLASSES=$(pwd)/target/scala-2.13/classes
+export GRAFT_COMMIT=$(git rev-parse --short HEAD 2>/dev/null || echo unknown)
+export SPARK_HOME=/opt/spark
+export SPARK_SCALA_VERSION=2.13  # normally set by load-spark-env.sh; the
+                                 # worker's ExecutorRunner needs it to build
+                                 # the executor command from a bare dist
+MASTER_URL=spark://127.0.0.1:7077
+
+ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+
+sbt -batch compile > /dev/null 2>&1
+
+PIDS=()
+cleanup() {
+  for p in "${PIDS[@]}"; do kill "$p" 2>/dev/null || true; done
+  sleep 1
+  pkill -f org.apache.spark.deploy 2>/dev/null || true
+  rm -rf /dev/shm/graft-w* /tmp/graft-worker-* 2>/dev/null || true
+  PIDS=()
+}
+trap cleanup EXIT
+
+leg() {
+  local k=$1   # number of 8-core workers
+  cleanup
+  echo "[scaling-driver] leg: $k x 8-core executors"
+  java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
+    org.apache.spark.deploy.master.Master \
+    --host 127.0.0.1 --port 7077 --webui-port 8180 \
+    > /tmp/graft-master.log 2>&1 &
+  PIDS+=($!)
+  sleep 3
+  for i in $(seq 0 $((k-1))); do
+    mkdir -p /dev/shm/graft-w$i /tmp/graft-worker-$i
+    # worker daemon JVM is tiny; the EXECUTOR it forks inherits this
+    # taskset mask — the executor is an 8-core/10g pre-touched JVM
+    SPARK_LOCAL_DIRS=/dev/shm/graft-w$i \
+    taskset -c $((i*8))-$((i*8+7)) \
+    java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
+      org.apache.spark.deploy.worker.Worker \
+      --cores 8 --memory 11g --work-dir /tmp/graft-worker-$i \
+      --webui-port $((8181+i)) $MASTER_URL \
+      > /tmp/graft-worker-$i.log 2>&1 &
+    PIDS+=($!)
+  done
+  sleep 4
+  GRAFT_STAGE_TIMING=${GRAFT_STAGE_TIMING:-} \
+  java $ADD_OPENS -Xms4g -Xmx4g -XX:+AlwaysPreTouch \
+    -Dgraft.classes="$CLASSES" \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$CLASSES:/opt/spark/jars/*" \
+    graft.app.ScalingBench cluster $MASTER_URL $((k*8)) $NDOCS $CSV \
+    2>&1 | grep -E "\[scaling|\[stage-timing|\[link-timing" || true
+  cleanup
+}
+
+for r in $(seq 1 "$ROUNDS"); do
+  echo "[scaling-driver] round $r"
+  leg 1
+  leg 4
+done
+java $ADD_OPENS -cp "$CLASSES:/opt/spark/jars/*" \
+  graft.app.ScalingBench summarize $CSV $OUT \
+  "standalone cluster, 1x8 vs 4x8-core executors (10g each), pinned" \
+  2>&1 | grep -E "\[scaling\]|^\|"
+echo "[scaling-driver] raw legs in $CSV"

@@ -106,10 +106,15 @@ object ScalingBench {
     val visible = Runtime.getRuntime.availableProcessors()
     val spark = session(cores)
     build(spark, 1000L) // JIT/codegen warmup, untimed
-    val calib = calibrate(spark)
+    // bracket the build with the probe: host CPU service varies minute to
+    // minute, so one pre-build sample can misstate the ceiling the build
+    // actually ran under; the mean of before/after is the window estimate
+    val calibPre = calibrate(spark)
     val (secs, triples) = build(spark, nDocs, cores)
+    val calibPost = calibrate(spark)
+    val calib = (calibPre + calibPost) / 2
     spark.stop()
-    println(f"[scaling] level local[$cores] (visible procs=$visible): build=$secs%.1fs calib=$calib%.1fs triples=$triples")
+    println(f"[scaling] level local[$cores] (visible procs=$visible): build=$secs%.1fs calib=$calib%.1fs (pre=$calibPre%.1f post=$calibPost%.1f) triples=$triples")
     java.nio.file.Files.write(java.nio.file.Paths.get(csv),
       f"$cores,$nDocs,$secs%.2f,$calib%.2f,$visible,$triples\n".getBytes,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
@@ -120,13 +125,14 @@ object ScalingBench {
     * never mixes rows from different engine versions into one distribution
     * (rows from older generations stay in the md for the record). Bump when
     * the engine or methodology changes materially. */
-  val Generation = "g3"
+  val Generation = "g4"
 
   /** Summarize the csv produced by repeated [[runLevel]] calls: per-level
     * best-of (contention only adds time) plus the per-round PAIRED ratios
     * (adjacent 8/32 legs of the same round), appended as a markdown row
     * stamped with [[Generation]] and the building commit (GRAFT_COMMIT). */
-  private def summarize(csv: String, out: Option[String]): Unit = {
+  private def summarize(csv: String, out: Option[String],
+                        note: String = "affinity-isolated JVMs"): Unit = {
     val src = scala.io.Source.fromFile(csv)
     val rows = try src.getLines().map(_.split(",")).collect {
       case Array(c, n, s, cal, _*) => (c.toInt, n.toLong, s.toDouble, cal.toDouble)
@@ -145,7 +151,7 @@ object ScalingBench {
     println(f"[scaling] best-of: local[8]=$bestT8%.1fs local[32]=$bestT32%.1fs speedup=$engineSpeedup%.2fx hw=$hwSpeedup%.2fx raw=${engineSpeedup / 4.0}%.2f norm=${engineSpeedup / hwSpeedup}%.2f")
     val commit = sys.env.getOrElse("GRAFT_COMMIT", "unknown")
     val line =
-      f"| $nDocs | local[8]: $bestT8%.1fs (${nDocs / bestT8}%.1f docs/s) | local[32]: $bestT32%.1fs (${nDocs / bestT32}%.1f docs/s) | $engineSpeedup%.2fx | $hwSpeedup%.2fx | ${engineSpeedup / 4.0}%.2f | ${engineSpeedup / hwSpeedup}%.2f | gen=$Generation commit=$commit affinity-isolated JVMs; paired ratios ${paired.map(x => f"$x%.2f").mkString("/")} |"
+      f"| $nDocs | 8c: $bestT8%.1fs (${nDocs / bestT8}%.1f docs/s) | 32c: $bestT32%.1fs (${nDocs / bestT32}%.1f docs/s) | $engineSpeedup%.2fx | $hwSpeedup%.2fx | ${engineSpeedup / 4.0}%.2f | ${engineSpeedup / hwSpeedup}%.2f | gen=$Generation commit=$commit $note; paired ratios ${paired.map(x => f"$x%.2f").mkString("/")} |"
     println(line)
     out.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p), (line + "\n").getBytes,
@@ -153,12 +159,36 @@ object ScalingBench {
     }
   }
 
+  /** One cluster-mode leg: connect to a standalone master whose workers
+    * (separate pinned 8-core JVMs, launched by scripts/scaling_cluster.sh)
+    * provide `totalCores` in 8-core executors with constant per-executor
+    * heaps — the faithful N-vs-4N-executor emulation (see Sessions.cluster).
+    * Appends the same csv row shape as [[runLevel]]. */
+  private def runCluster(masterUrl: String, totalCores: Int, nDocs: Long, csv: String): Unit = {
+    val spark = graft.core.Sessions.cluster(masterUrl, totalCores,
+      execCores = 8, execHeapGb = 10, appName = s"graft-scaling-c$totalCores")
+    build(spark, 1000L) // JIT/codegen warmup on every executor, untimed
+    val calibPre = calibrate(spark)
+    val (secs, triples) = build(spark, nDocs, totalCores)
+    val calibPost = calibrate(spark)
+    val calib = (calibPre + calibPost) / 2
+    spark.stop()
+    println(f"[scaling] cluster cores=$totalCores (${totalCores / 8} x 8-core executors): build=$secs%.1fs calib=$calib%.1fs (pre=$calibPre%.1f post=$calibPost%.1f) triples=$triples")
+    java.nio.file.Files.write(java.nio.file.Paths.get(csv),
+      f"$totalCores,$nDocs,$secs%.2f,$calib%.2f,${totalCores}c,$triples\n".getBytes,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 4 && args(0) == "cluster")
+      return runCluster(args(1), args(2).toInt, args(3).toLong,
+        if (args.length > 4) args(4) else "/tmp/scaling_raw.csv")
     if (args.length >= 3 && args(0) == "level")
       return runLevel(args(1).toInt, args(2).toLong,
         if (args.length > 3) args(3) else "/tmp/scaling_raw.csv")
     if (args.nonEmpty && args(0) == "summarize")
-      return summarize(args(1), if (args.length > 2) Some(args(2)) else None)
+      return summarize(args(1), if (args.length > 2) Some(args(2)) else None,
+        if (args.length > 3) args.drop(3).mkString(" ") else "affinity-isolated JVMs")
 
     val nDocs = if (args.nonEmpty) args(0).toLong else 24000L
     val out = if (args.length > 1) Some(args(1)) else None

@@ -48,4 +48,23 @@ object Materialize {
     p.count()
     p
   }
+
+  /** Pipeline-stage materialization: persist the stage's InternalRow RDD
+    * and wrap it as a fresh LogicalRDD DataFrame. This cuts the SQL plan
+    * tree at the stage boundary (without a cut, each stage's plan embeds
+    * every upstream stage's plan — by the final unions the tree is big
+    * enough that merely rendering its explain string OOMs an 8 GiB driver)
+    * while KEEPING the RDD lineage, so a lost or unfetchable cached block
+    * silently recomputes instead of failing the way a truncated
+    * localCheckpoint does (multi-executor runs hit exactly that: Spark
+    * cannot remote-fetch an empty deserialized cached partition).
+    * The `.map(_.copy())` is required because upstream operators reuse
+    * their output row buffer — same as Dataset.localCheckpoint's own
+    * materialization path. */
+  def stageCut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    org.apache.spark.sql.GraftShims.fromInternalRdd(df.sparkSession, rdd, df.schema)
+  }
 }

@@ -43,11 +43,59 @@ object Sessions {
       new java.io.File("/dev/shm/spark-graft").mkdirs()
       b.config("spark.local.dir", "/dev/shm/spark-graft")
     }
+    // diagnostic toggle: disable GC-driven ContextCleaner cleanup
+    sys.env.get("GRAFT_NO_CLEANER").foreach { _ =>
+      b.config("spark.cleaner.referenceTracking", "false")
+    }
     b
   }
 
   def local(cores: Int, appName: String): SparkSession = {
     val s = builder(s"local[$cores]", appName, cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Session against a local standalone cluster — the faithful "N vs 4N
+    * executors" emulation for the scaling criterion: each worker is a
+    * separate 8-core JVM pinned to its own core block with a per-executor
+    * heap that stays CONSTANT as the cluster grows, exactly like a real
+    * scale-out (more executors, same heap each — never one 4x-fatter JVM).
+    *
+    * This matters on this sandbox beyond fidelity: committing memory is
+    * catastrophically non-linear in JVM size here (measured: a 12 GiB
+    * pre-touch takes 4 s, a 48 GiB one 8 min with 185 CPU-min of SYSTEM
+    * time — the guest/host fault path degrades past ~16 GiB per process),
+    * so a single local[32] JVM with a 4x heap measures the VM's memory
+    * subsystem, not the engine. Executors also each get their own G1
+    * instance sized to 8 threads, their own shuffle scratch, and real
+    * netty shuffle/broadcast between JVMs.
+    */
+  def cluster(masterUrl: String, totalCores: Int, execCores: Int,
+              execHeapGb: Int, appName: String): SparkSession = {
+    val b = builder(masterUrl, appName, totalCores)
+      .config("spark.cores.max", totalCores.toString)
+      .config("spark.executor.cores", execCores.toString)
+      .config("spark.executor.memory", s"${execHeapGb}g")
+      // fixed executor heaps (-Xms=-Xmx): real executors run fixed heaps.
+      // Deliberately NOT AlwaysPreTouch here: concurrent pre-touch of all
+      // executors' heaps saturates this sandbox's guest fault path (4x10g
+      // concurrent = minutes of 97%-system time box-wide, vs 4s for one
+      // 12g JVM) — the untimed warmup build touches the working set
+      // instead, spread over real allocation.
+      .config("spark.executor.extraJavaOptions",
+        (s"-Xms${execHeapGb}g " +
+          sys.props.getOrElse("graft.execJavaOpts", "")).trim)
+      // One executor per 8-core worker: every "remote" fetch is loopback,
+      // so waiting for process-locality only idles cores at stage starts —
+      // and it idles ONLY the multi-executor layout (a single local[n]
+      // executor is always process-local), which would bias the N-vs-4N
+      // comparison itself.
+      .config("spark.locality.wait", "0")
+      .config("spark.executor.extraClassPath",
+        sys.props.getOrElse("graft.classes",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

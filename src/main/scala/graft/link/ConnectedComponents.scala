@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * and the shuffle partitioning by (key, vertex) is skew-free even when
   * one entity name is globally hot.
   *
-  * Each iteration propagates the minimum label one hop and
-  * `localCheckpoint`s to truncate lineage; convergence is detected via a
+  * Each iteration propagates the minimum label one hop and cuts the
+  * accumulated plan at a persisted materialization (Materialize.stageCut:
+  * plan truncated, RDD lineage kept — cluster-safe, unlike localCheckpoint
+  * whose blocks are unrecoverable if a remote fetch fails); convergence is
+  * detected via a
   * changed-row count. Iterations are bounded by component diameter —
   * alias clusters and per-doc relation graphs are shallow, so this
   * converges in a handful of rounds regardless of corpus size. (At truly
@@ -30,10 +33,10 @@ object ConnectedComponents {
     val adj = edges.select(col("key"), col("a"), col("b"))
       .union(edges.select(col("key"), col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.stageCut)
 
     var labels = vertices.select(col("key"), col("v"), col("v").as("label"))
-      .localCheckpoint(true)
+      .transform(graft.core.Materialize.stageCut)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -49,7 +52,7 @@ object ConnectedComponents {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
           (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
       val t0 = System.nanoTime()
-      val cp = updated.localCheckpoint(true)
+      val cp = graft.core.Materialize.stageCut(updated)
       val changed = cp.filter(col("changed")).limit(1).count()
       labels = cp.select(col("key"), col("v"), col("new_label").as("label"))
       converged = changed == 0L

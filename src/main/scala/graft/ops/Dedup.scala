@@ -172,8 +172,9 @@ object Dedup {
     import graft.link.ConnectedComponents
     // materialize the pair stage ONCE (it is typically the output of an
     // expensive LSH pipeline) so CC iterations never recompute it
-    val p = pairs.select(col("ida").cast("string").as("a"),
-      col("idb").cast("string").as("b")).localCheckpoint(true)
+    val p = graft.core.Materialize.stageCut(
+      pairs.select(col("ida").cast("string").as("a"),
+        col("idb").cast("string").as("b")))
     // iterate only over vertices that occur in a pair — the near-dup graph
     // is a vanishing fraction of the corpus, so the label-propagation
     // rounds never shuffle the full id set

@@ -79,17 +79,31 @@ object BuildPipeline {
     // here are per-(doc, name) and small; keep the agg hash-based.
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
 
-    // Without a work dir, a stage is materialized (eager localCheckpoint)
-    // only when >= 2 downstream consumers would otherwise recompute its
-    // lineage (the reference materializes its BuildLog list for the same
-    // reason); single-consumer stages stay lazy so Catalyst fuses them into
-    // their consumer — fewer jobs, less fixed overhead per build. With a
-    // work dir every stage persists (that is the resume contract).
+    // Without a work dir, a stage is materialized (eager persist) only when
+    // >= 2 downstream consumers would otherwise recompute its lineage (the
+    // reference materializes its BuildLog list for the same reason);
+    // single-consumer stages stay lazy so Catalyst fuses them into their
+    // consumer — fewer jobs, less fixed overhead per build. With a work dir
+    // every stage persists to parquet (that is the resume contract).
+    //
+    // Eager persist, NOT localCheckpoint: a local checkpoint TRUNCATES
+    // lineage, so its correctness depends on every block staying fetchable
+    // for the build's lifetime. On a multi-executor cluster that is not a
+    // safe assumption — concretely, Spark 4.1 cannot serve a remote fetch
+    // of an EMPTY deserialized cached partition ("[INTERNAL_ERROR_STORAGE]
+    // Empty buffer received for non empty block"), so any AQE-coalesced
+    // stage output with empty partitions read from another executor threw
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (observed at 4x8-core executors;
+    // invisible in local mode, which never fetches remotely). A persisted
+    // stage keeps its lineage: a missed block silently RECOMPUTES the
+    // partition from the (deterministic, seeded) upstream instead of
+    // crashing or corrupting — block availability can cost time, never
+    // correctness.
     def stage(name: String, shared: Boolean = true)(compute: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val out = checkpoints match {
         case Some(cp) => cp.stage(name)(compute)
-        case None => if (shared) compute.localCheckpoint(true) else compute
+        case None => if (shared) Materialize.stageCut(compute) else compute
       }
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
         System.err.println(f"[stage-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")

@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap an already-persisted RDD[InternalRow] as a fresh DataFrame whose
+    * logical plan is a bare LogicalRDD — i.e. cut the SQL plan tree at a
+    * materialization point WITHOUT cutting the RDD lineage (what
+    * `Dataset.localCheckpoint` does, minus the lineage truncation that
+    * makes block loss unrecoverable). `internalCreateDataFrame` is
+    * private[sql], hence the shim. */
+  def fromInternalRdd(spark: SparkSession,
+                      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }
