@@ -24,6 +24,15 @@ cd "$(dirname "$0")/.."
 NDOCS=${1:-96000}
 ROUNDS=${2:-5}
 OUT=${3:-BENCH/scaling_rows.md}
+# Per-executor heap. With pipeline stages checkpointed to parquet the
+# executors hold only shuffle/exec memory, so heaps stay small — which also
+# keeps this sandbox's non-linear page-fault cost (large / concurrent memory
+# commit) out of the measurement. Executors pre-touch via
+# GRAFT_EXEC_PRETOUCH=1 (fast at small heaps; the 4x10g concurrent case is
+# the one that collapsed the guest fault path).
+EXEC_HEAP_GB=${GRAFT_EXEC_HEAP_GB:-10}
+EXEC_OPTS=""
+[ -n "${GRAFT_EXEC_PRETOUCH:-}" ] && EXEC_OPTS="-XX:+AlwaysPreTouch"
 CSV=$(mktemp /tmp/scaling_cluster.XXXX.csv)
 CLASSES=$(pwd)/target/scala-2.13/classes
 export GRAFT_COMMIT=$(git rev-parse --short HEAD 2>/dev/null || echo unknown)
@@ -42,7 +51,7 @@ cleanup() {
   for p in "${PIDS[@]}"; do kill "$p" 2>/dev/null || true; done
   sleep 1
   pkill -f org.apache.spark.deploy 2>/dev/null || true
-  rm -rf /dev/shm/graft-w* /tmp/graft-worker-* 2>/dev/null || true
+  rm -rf /dev/shm/graft-w* /dev/shm/graft-ckpt /tmp/graft-worker-* 2>/dev/null || true
   PIDS=()
 }
 trap cleanup EXIT
@@ -50,6 +59,11 @@ trap cleanup EXIT
 leg() {
   local k=$1   # number of 8-core workers
   cleanup
+  # pipeline stages go through the parquet work dir (tmpfs = the per-leg
+  # analog of the distributed storage a real build checkpoints to); cached
+  # block cuts would pin partitions to the executor that computed them
+  rm -rf /dev/shm/graft-ckpt; mkdir -p /dev/shm/graft-ckpt
+  export GRAFT_SCALING_CKPT=/dev/shm/graft-ckpt
   echo "[scaling-driver] leg: $k x 8-core executors"
   java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
     org.apache.spark.deploy.master.Master \
@@ -65,14 +79,16 @@ leg() {
     taskset -c $((i*8))-$((i*8+7)) \
     java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
       org.apache.spark.deploy.worker.Worker \
-      --cores 8 --memory 11g --work-dir /tmp/graft-worker-$i \
+      --cores 8 --memory $((EXEC_HEAP_GB+1))g --work-dir /tmp/graft-worker-$i \
       --webui-port $((8181+i)) $MASTER_URL \
       > /tmp/graft-worker-$i.log 2>&1 &
     PIDS+=($!)
   done
   sleep 4
   GRAFT_STAGE_TIMING=${GRAFT_STAGE_TIMING:-} \
+  GRAFT_EXEC_HEAP_GB=$EXEC_HEAP_GB \
   java $ADD_OPENS -Xms4g -Xmx4g -XX:+AlwaysPreTouch \
+    -Dgraft.execJavaOpts="$EXEC_OPTS" \
     -Dgraft.classes="$CLASSES" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CLASSES:/opt/spark/jars/*" \

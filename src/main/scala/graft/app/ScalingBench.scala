@@ -56,12 +56,28 @@ object ScalingBench {
       { jobs.incrementAndGet(); () }
   }
 
+  private val buildSeq = new java.util.concurrent.atomic.AtomicInteger
+
   private def build(spark: SparkSession, nDocs: Long, cores: Int = 0): (Double, Long) = {
     val stats = new BuildStats
     spark.sparkContext.addSparkListener(stats)
+    // GRAFT_SCALING_CKPT=<base>: route pipeline stages through the parquet
+    // Checkpoints work dir (the production path) instead of cached blocks.
+    // On multi-executor legs this is the honest emulation — a real build at
+    // this scale checkpoints stages to DISTRIBUTED storage that any executor
+    // can read, whereas BlockManager-cached stage cuts pin each partition to
+    // the executor that computed it (off-executor tasks must remote-fetch or
+    // recompute — the local-mode shortcut the cluster criterion must not
+    // lean on). Fresh subdir per build: warmup and timed builds never share
+    // a resume dir.
+    val ckpt = sys.env.get("GRAFT_SCALING_CKPT").map { base =>
+      val dir = s"$base/b${buildSeq.incrementAndGet()}"
+      new graft.io.Checkpoints(spark, new graft.io.ParquetTableIO(dir),
+        java.util.UUID.randomUUID().toString)
+    }
     val t0 = System.nanoTime()
     val triples = BuildPipeline
-      .run(Corpus.docs(spark, nDocs), new DeterministicExtractor)
+      .run(Corpus.docs(spark, nDocs), new DeterministicExtractor, checkpoints = ckpt)
       .triples.count()
     val wall = (System.nanoTime() - t0) / 1e9
     spark.sparkContext.removeSparkListener(stats)
@@ -165,8 +181,9 @@ object ScalingBench {
     * heaps — the faithful N-vs-4N-executor emulation (see Sessions.cluster).
     * Appends the same csv row shape as [[runLevel]]. */
   private def runCluster(masterUrl: String, totalCores: Int, nDocs: Long, csv: String): Unit = {
+    val heapGb = sys.env.get("GRAFT_EXEC_HEAP_GB").map(_.toInt).getOrElse(10)
     val spark = graft.core.Sessions.cluster(masterUrl, totalCores,
-      execCores = 8, execHeapGb = 10, appName = s"graft-scaling-c$totalCores")
+      execCores = 8, execHeapGb = heapGb, appName = s"graft-scaling-c$totalCores")
     build(spark, 1000L) // JIT/codegen warmup on every executor, untimed
     val calibPre = calibrate(spark)
     val (secs, triples) = build(spark, nDocs, totalCores)

@@ -37,8 +37,23 @@ object Par {
   *      crashing on missing checkpoint blocks.
   */
 object Materialize {
+
+  /** SERIALIZED storage for every cached intermediate. Two reasons:
+    *   1. remote fetch of a cached block between executors streams the
+    *      stored bytes directly — a DESERIALIZED level must serialize
+    *      per fetch, and Spark 4.1 fails outright on remote reads of
+    *      empty deserialized partitions ("Empty buffer received for non
+    *      empty block"), which at shuffle.partitions > live data volume
+    *      (small builds, AQE-coalesced tails) turned every off-executor
+    *      task over an empty partition into a full lineage recompute —
+    *      measured 8x aggregate-CPU amplification at 4x8 executors;
+    *   2. serialized UnsafeRow blocks are compact (Kryo + LZ4), the right
+    *      default when aggregate cache across a cluster is the scarce
+    *      resource. */
+  private val CacheLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
   def eager(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = df.persist(CacheLevel)
     // count(), NOT foreachPartition: foreachPartition is a typed action that
     // deserializes every InternalRow to an external Row (GenerateSafeProjection
     // per row — jstack showed all workers blocked on its codegen lock, then
@@ -63,7 +78,7 @@ object Materialize {
     * materialization path. */
   def stageCut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(CacheLevel)
     rdd.count()
     org.apache.spark.sql.GraftShims.fromInternalRdd(df.sparkSession, rdd, df.schema)
   }
