@@ -151,8 +151,17 @@ object ScalingBench {
                         note: String = "affinity-isolated JVMs"): Unit = {
     val src = scala.io.Source.fromFile(csv)
     val rows = try src.getLines().map(_.split(",")).collect {
-      case Array(c, n, s, cal, _*) => (c.toInt, n.toLong, s.toDouble, cal.toDouble)
+      case a @ Array(c, n, s, cal, _*) =>
+        (c.toInt, n.toLong, s.toDouble, cal.toDouble,
+          if (a.length > 5) a(5).toLong else -1L)
     }.toVector finally src.close()
+    // determinism gate: the north rule requires IDENTICAL output at N and
+    // 4N — every leg must report the same triple count (caught a real bug
+    // once: mutate-during-iteration in the per-key union-find lost ~10 ppm
+    // of vertices only under multi-executor shuffle arrival order)
+    val tCounts = rows.map(_._5).filter(_ >= 0).distinct
+    require(tCounts.size <= 1,
+      s"triple counts differ across legs: ${tCounts.mkString(", ")} — output is parallelism-dependent")
     val nDocs = rows.head._2
     val t8 = rows.filter(_._1 == 8).map(_._3)
     val t32 = rows.filter(_._1 == 32).map(_._3)

@@ -47,6 +47,12 @@ object Sessions {
     sys.env.get("GRAFT_NO_CLEANER").foreach { _ =>
       b.config("spark.cleaner.referenceTracking", "false")
     }
+    // diagnostic toggle: arbitrary conf overrides ("k=v;k=v") — applied
+    // LAST so A/B bisection runs can override any engine default above
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      b.config(k.trim, v.trim)
+    })
     b
   }
 

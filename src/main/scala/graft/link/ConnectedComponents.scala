@@ -100,7 +100,17 @@ object ConnectedComponents {
             if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
           }
         }
-        parent.keysIterator.map(v => (key, v, find(v))).toVector
+        // SNAPSHOT the keys before emitting: find() path-compresses, i.e.
+        // WRITES to `parent`, and scala 2.13 mutable.HashMap.put checks the
+        // growth trigger BEFORE probing for the existing key — a value
+        // update can therefore RESIZE the table mid-iteration and the live
+        // keysIterator silently skips entries. Found as nondeterministic
+        // vertex loss (~10 ppm) on multi-executor runs only: shuffle-fetch
+        // arrival order varies union order, hence tree depth, hence whether
+        // compression fires during emission (DetCheck reproduces; local
+        // fetch order never hit the resize boundary).
+        val ks = parent.keys.toArray
+        ks.iterator.map(v => (key, v, find(v)))
       }
       .toDF("key", "v", "component")
   }
