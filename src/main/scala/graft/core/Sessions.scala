@@ -79,7 +79,12 @@ object Sessions {
     */
   def cluster(masterUrl: String, totalCores: Int, execCores: Int,
               execHeapGb: Int, appName: String): SparkSession = {
-    val b = builder(masterUrl, appName, totalCores)
+    // >1 task wave per stage: with exactly cores-many shuffle partitions a
+    // single straggler idles every other core until the stage barrier; a
+    // few waves let the scheduler backfill (real clusters run 2-4 waves).
+    // Scales with the leg's core count, so both legs see the same waves.
+    val tasksPerCore = sys.env.get("GRAFT_TASKS_PER_CORE").map(_.toInt).getOrElse(1)
+    val b = builder(masterUrl, appName, totalCores * tasksPerCore)
       .config("spark.cores.max", totalCores.toString)
       .config("spark.executor.cores", execCores.toString)
       .config("spark.executor.memory", s"${execHeapGb}g")
