@@ -32,7 +32,7 @@ object Bench {
     val kgSecs = results("kg_build_e2e")
 
     // heavy operators on the sf-dir tables
-    val heavy = Seq("q_ngram_jaccard", "q_minhash_lsh", "q_simhash", "q_embed_neardup",
+    val heavy = Seq("q_ngram_jaccard", "q_minhash_lsh", "q_simhash_ham", "q_embed_neardup",
       "q_dedup_clusters", "q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_quality",
       "q_exact_dedup", "q_agg_pricing", "q_join_agg")
     heavy.foreach { name =>
@@ -72,21 +72,36 @@ object Bench {
     // distribution — older-methodology / older-binary rows stay in the md
     // for the record but must not mix into this binary's numbers
     val gen = all.filter(_._6.contains(s"gen=${graft.app.ScalingBench.Generation}"))
-    val rows = (if (gen.nonEmpty) gen else all).map(r => (r._1, r._2, r._3, r._4, r._5))
+    val rows = if (gen.nonEmpty) gen else all
     if (rows.isEmpty) return None
     def fmt(xs: Seq[Double]) = xs.sorted.map(x => f"$x%.2f").mkString("[", ",", "]")
+    def list(notes: String, key: String): Vector[Double] = {
+      val m = (key + """[= ]([0-9./]+)""").r.findFirstMatchIn(notes)
+      m.map(_.group(1).split("/").toVector.map(_.toDouble)).getOrElse(Vector.empty)
+    }
     // at-scale rounds: the build stops being latency-dominated >= 96k docs
     val big = rows.filter(_._1 >= 96000L)
     val use = if (big.nonEmpty) big else rows
     def median(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
+    // a campaign row carries its per-round PAIRED lists in the notes —
+    // expand them so the reported distribution is per paired round, not
+    // per campaign; fall back to the row's best-of columns when absent
+    val paired = use.flatMap(r => { val p = list(r._6, "paired ratios"); if (p.isEmpty) Vector(r._2) else p })
+    val effEngine = use.flatMap(r => list(r._6, "eff_engine"))
+    val inflation = use.flatMap(r => list(r._6, "inflation"))
+    val memCeil = use.flatMap(r => list(r._6, "memceil"))
+    val engineJson =
+      if (effEngine.isEmpty) ""
+      else s""""eff_engine":${fmt(effEngine)},"median_eff_engine":${f"${median(effEngine)}%.2f"},""" +
+        s""""task_inflation":${fmt(inflation)},"mem_bw_ceiling":${fmt(memCeil)},"""
     Some(
       s"""{"generation":"${graft.app.ScalingBench.Generation}",""" +
-      s""""rounds_total":${rows.size},"rounds_at_scale":${big.size},""" +
+      s""""campaign_rows":${rows.size},"rounds_at_scale":${paired.size},""" +
       s""""docs_at_scale":${use.map(_._1).max},""" +
-      s""""speedups":${fmt(use.map(_._2))},"hw_ceilings":${fmt(use.map(_._3))},""" +
-      s""""eff_raw":${fmt(use.map(_._4))},"eff_hw_normalized":${fmt(use.map(_._5))},""" +
-      s""""median_eff_raw":${f"${median(use.map(_._4))}%.2f"},""" +
-      s""""median_eff_hw_normalized":${f"${median(use.map(_._5))}%.2f"},""" +
+      s""""speedups":${fmt(paired)},"median_speedup":${f"${median(paired)}%.2f"},""" +
+      s""""hw_cpu_ceilings":${fmt(use.map(_._3))},""" +
+      s""""eff_raw":${fmt(paired.map(_ / 4.0))},"median_eff_raw":${f"${median(paired.map(_ / 4.0))}%.2f"},""" +
+      engineJson +
       s""""best_eff_raw":${f"${use.map(_._4).max}%.2f"},"best_eff_hw_normalized":${f"${use.map(_._5).max}%.2f"}}""")
   }
 }

@@ -158,6 +158,17 @@ object SparkEntry {
     "q_simhash" -> ((s, d) =>
       Dedup.simhashVerifiedPairs(s.read.parquet(t(d, "documents")), "doc_id", "text",
         k = 3, threshold = 0.8)),
+    // the PRODUCTION simhash near-duplicate detector: 4x16-bit bands,
+    // exact Hamming <= 3 — the ham<=3 / J>=0.95 territory simhash is the
+    // right tool for at scale (narrow bands keep buckets tiny, so the
+    // candidate join stays linear). q_simhash above is the oracle-exact
+    // J>=0.8 bridge whose wide Hamming net is inherently join-heavy on a
+    // homogeneous corpus (hot 4-bit buckets hold most docs); it gates
+    // correctness at verify scale while THIS entry is the one a 100 TB
+    // pipeline runs — Bench times this one for the near-dup simhash cost.
+    "q_simhash_ham" -> ((s, d) =>
+      Dedup.simhashPairs(s.read.parquet(t(d, "documents")), "doc_id", "text",
+        maxHamming = 3, bandBits = 16)),
     "q_embed_neardup" -> ((s, d) => {
       // the synthetic embeddings carry no natural near-dups (max pairwise
       // cosine ~0.5), so plant exact duplicates of the first 20 vectors

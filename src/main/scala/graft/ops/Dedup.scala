@@ -128,11 +128,17 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bv"))
     val l = banded.select(col("band"), col("bv"), col("id").as("ida"), col("sig").as("sa"))
     val r = banded.select(col("band").as("band2"), col("bv").as("bv2"), col("id").as("idb"), col("sig").as("sb"))
+    // Hamming filter BEFORE the pair-distinct: the xor/bit_count is a
+    // per-joined-row codegen expression, while distinct is a shuffle — at
+    // wide nets (4-bit bands => n/16 docs per bucket) the co-bucketed
+    // candidate volume dwarfs the surviving pairs, so filtering first cuts
+    // the distinct's input by orders of magnitude. Identical output set
+    // (hamming is a function of the pair, so filter and distinct commute).
     l.join(r, col("band") === col("band2") && col("bv") === col("bv2") && col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash-blocked near-dup pairs with EXACT n-gram Jaccard verification:

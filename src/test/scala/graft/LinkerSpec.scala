@@ -103,6 +103,25 @@ class LinkerSpec extends SparkSpec {
     }
   }
 
+  test("runPerKey conserves every vertex at HashMap growth-trigger sizes") {
+    // regression: the fold once emitted via parent.keysIterator while
+    // find() was still path-compressing; scala 2.13 HashMap.put checks the
+    // growth trigger BEFORE probing for the existing key, so a value
+    // update on an existing key can RESIZE the table mid-iteration and
+    // the live iterator skips entries. 11 members (trigger = 12 at the
+    // default capacity 16) + a chain that leaves a deep uncompressed path
+    // at emission is the smallest shape that can fire it.
+    import spark.implicits._
+    val vs = (0 to 10).map(i => ("k", f"v$i%02d"))
+    val es = (9 to 0 by -1).map(i => ("k", f"v$i%02d", f"v${i + 1}%02d"))
+    val out = ConnectedComponents.runPerKey(
+        vs.toDF("key", "v").coalesce(1), es.toDF("key", "a", "b").coalesce(1))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(out.map(_._1).sorted.toSeq === vs.map(_._2).sorted.toSeq,
+      "every vertex must be emitted exactly once")
+    assert(out.forall(_._2 == "v00"), "single chain => one component rooted at min")
+  }
+
   test("blocking join finds exactly the >=95 pairs on a doc's names") {
     import spark.implicits._
     val names = Seq(
