@@ -39,7 +39,11 @@ object Search {
       .orderBy(col("distance").asc, col("id").asc)
       .limit(topN)
       .withColumn("score", rerankUdf(query)(col("text")))
-    // prefix-break at the first below-threshold score (score-ordered)
+    // prefix-break at the first below-threshold score (score-ordered).
+    // The window is deliberately UNPARTITIONED (Spark warns): it runs over
+    // `hits`, which limit(topN) already bounded to <= 40 rows — the
+    // reference reranks exactly this top-n slice (quick_search.py:140-145),
+    // so a single-partition frame is correct and O(topN) at any corpus size.
     val w = Window.orderBy(col("score").desc, col("id").asc)
     hits
       .withColumn("rn", row_number().over(w))
