@@ -274,6 +274,13 @@ object SparkEntry {
       val r = kg(s, d)
       graft.query.GraphOps.stats(r.nodes, r.edges, r.properties)
     }),
+    // Visualizer data prep (level slice + degree + level-internal edges) —
+    // the distributed half of viz/Visualizer; HTML render gated by
+    // VisualizerSpec, rows-only here.
+    "kg_viz_nodes" -> ((s, d) => {
+      val r = kg(s, d)
+      graft.viz.Visualizer.visualData(r.nodes, r.edges, level = 0, maxNodes = 2000)._1
+    }),
     // array columns are flattened to strings for the dump: the driver's
     // pandas sort/hash can't digest ndarray cells (CORRECTNESS_r01 err).
     "kg_entity_catalog" -> ((s, d) =>
