@@ -45,17 +45,27 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate (ida, idb) pairs against the
     * pre-computed full shingle sets — `array_intersect`/`size` built-ins,
-    * whole-stage-codegen, no per-pair re-shingling. */
+    * whole-stage-codegen, no per-pair re-shingling.
+    *
+    * The threshold filter runs on the UNROUNDED value (rounding first would
+    * admit pairs whose true Jaccard sits in [threshold − 5e-5, threshold),
+    * which the DuckDB oracles — filtering unrounded — exclude); rounding to
+    * 4 decimals happens only on the reported column. Two EMPTY shingle sets
+    * are identical (empty) documents: Jaccard 1, matching the oracle, whose
+    * empty docs carry a single ''-shingle — not a 0/0 null that would
+    * silently drop the pair. */
   private def verifyJaccard(cands: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("sha"), col("shb")))
+    val exact = when(size(col("sha")) === 0 && size(col("shb")) === 0, lit(1.0))
+      .otherwise(inter.cast("double") /
+        (size(col("sha")) + size(col("shb")) - inter))
     cands.select("ida", "idb")
       .join(sets.select(col("id").as("ida"), col("sh").as("sha")), Seq("ida"))
       .join(sets.select(col("id").as("idb"), col("sh").as("shb")), Seq("idb"))
-      .withColumn("jaccard",
-        round(inter / (size(col("sha")) + size(col("shb")) - inter), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("ida", "idb", "jaccard")
+      .withColumn("j", exact)
+      .filter(col("j") >= threshold)
+      .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
   }
 
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs >= threshold.
@@ -219,8 +229,10 @@ object Dedup {
       .select("ida", "idb").distinct()
       .join(vecs.select(col("id").as("ida"), col("v").as("va")), Seq("ida"))
       .join(vecs.select(col("id").as("idb"), col("v").as("vb")), Seq("idb"))
-      .withColumn("cosine", round(cos(col("va"), col("vb")), 4))
-      .filter(col("cosine") >= threshold)
-      .select("ida", "idb", "cosine")
+      // threshold on the UNROUNDED cosine (the oracle filters unrounded);
+      // rounding only the reported column
+      .withColumn("c", cos(col("va"), col("vb")))
+      .filter(col("c") >= threshold)
+      .select(col("ida"), col("idb"), round(col("c"), 4).as("cosine"))
   }
 }

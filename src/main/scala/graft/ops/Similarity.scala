@@ -108,15 +108,19 @@ object Similarity {
     // empty clusters keep their previous centroid. Fewer sample rows than
     // nLists simply trains fewer lists.
     // Seeding: deterministic farthest-point (kmeans++-style) — the first
-    // sample vector, then repeatedly the vector farthest (min cosine) from
-    // every chosen seed. Spread-out seeds cut the recall loss of Lloyd
-    // converging onto adjacent centroids (raised recall@5 at nProbe=6
-    // measurably vs take(nLists) seeding).
+    // sample vector, then repeatedly the vector whose NEAREST chosen seed
+    // is least similar (argmin over points of max-cosine-to-any-seed).
+    // Tracking the min over seeds instead would let an exact duplicate of
+    // one seed look "far" (it is dissimilar to SOME seed) and be picked
+    // again — seed spread degrades exactly on clustered data. Spread-out
+    // seeds cut the recall loss of Lloyd converging onto adjacent
+    // centroids (raised recall@5 measurably vs take(nLists) seeding).
     var centroids: Array[Array[Float]] =
       if (train.length <= nLists) train.take(nLists)
       else {
         val seeds = scala.collection.mutable.ArrayBuffer(train.head)
-        val minCos = Array.fill(train.length)(Double.MaxValue)
+        // nearestCos(i) = cosine of train(i) to its nearest seed so far
+        val nearestCos = Array.fill(train.length)(Double.MinValue)
         val chosen = Array.fill(train.length)(false)
         chosen(0) = true
         while (seeds.length < nLists) {
@@ -125,8 +129,8 @@ object Similarity {
           var farCos = Double.MaxValue
           while (i < train.length) {
             val cs = TextFns.cosine(seeds.last, train(i))
-            if (cs < minCos(i)) minCos(i) = cs
-            if (!chosen(i) && minCos(i) < farCos) { farCos = minCos(i); farIdx = i }
+            if (cs > nearestCos(i)) nearestCos(i) = cs
+            if (!chosen(i) && nearestCos(i) < farCos) { farCos = nearestCos(i); farIdx = i }
             i += 1
           }
           seeds += train(farIdx)

@@ -14,6 +14,19 @@ class OpsSpec extends SparkSpec {
   lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     .select(col("vec_id").as("id"), col("embedding").as("vec")).cache()
 
+  test("two empty documents pair at jaccard 1.0 (no 0/0 null drop)") {
+    // empty docs band-collide in every band (all-MaxValue signatures); the
+    // exact verification must report them as identical (the DuckDB oracle
+    // gives empty docs one ''-shingle and reports the pair at 1.0), not
+    // drop them on a 0/0 null
+    val d = Seq((1L, ""), (2L, "   "), (3L, "a real document about graphs"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", k = 3, numPerm = 16,
+        bands = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs === Set((1L, 2L, 1.0)))
+  }
+
   test("minhash LSH finds all very-high-jaccard pairs found exactly") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
