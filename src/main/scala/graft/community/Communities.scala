@@ -188,8 +188,11 @@ object Communities {
         col("doc_id"))
 
     // --- keyword properties on the doc node --------------------------------
+    // array_distinct: a custom extractor may repeat a keyword, and repeated
+    // keywords would yield duplicate rows under the SAME deterministic
+    // property id (id = propId(docNode, keyword))
     val docProperties = docKeywords
-      .select(col("doc_id"), explode(col("keywords")).as("description"))
+      .select(col("doc_id"), explode(array_distinct(col("keywords"))).as("description"))
       .select(
         propIdUdf(docNodeIdUdf(col("doc_id")), col("description")).as("id"),
         docNodeIdUdf(col("doc_id")).as("node_id"),

@@ -76,10 +76,20 @@ object Materialize {
     * The `.map(_.copy())` is required because upstream operators reuse
     * their output row buffer — same as Dataset.localCheckpoint's own
     * materialization path. */
-  def stageCut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def stageCut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    stageCutHandle(df)._1
+
+  /** [[stageCut]] plus the persisted RDD handle, for iterative callers
+    * that free superseded iterations deterministically (the CC loop would
+    * otherwise pin one full label-table copy per iteration for the
+    * session's lifetime). Unpersisting early is always safe: the RDD
+    * lineage is kept, so a late consumer recomputes instead of failing. */
+  def stageCutHandle(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(CacheLevel)
     rdd.count()
-    org.apache.spark.sql.GraftShims.fromInternalRdd(df.sparkSession, rdd, df.schema)
+    (org.apache.spark.sql.GraftShims.fromInternalRdd(df.sparkSession, rdd, df.schema), rdd)
   }
 }

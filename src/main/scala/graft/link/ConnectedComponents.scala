@@ -27,16 +27,30 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Returns (key, v, component) with component = min label (string order)
-    * over the vertex's component. */
+    * over the vertex's component, one row per DECLARED vertex. Edge
+    * endpoints absent from `vertices` still BRIDGE (they join components,
+    * exactly as in [[runPerKey]]'s union-find) but are not emitted.
+    *
+    * Superseded iteration caches are freed deterministically (only the
+    * final labels stay persisted for the consumer); on non-convergence at
+    * `maxIter` the partial labels are still returned — one component may
+    * be reported as several — with a loud stderr warning, since silently
+    * splitting a component would corrupt dedup groups downstream. */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     // adjacency in both directions, deduped
-    val adj = edges.select(col("key"), col("a"), col("b"))
-      .union(edges.select(col("key"), col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .transform(graft.core.Materialize.stageCut)
+    val (adj, adjRdd) = graft.core.Materialize.stageCutHandle(
+      edges.select(col("key"), col("a"), col("b"))
+        .union(edges.select(col("key"), col("b").as("a"), col("a").as("b")))
+        .distinct())
 
-    var labels = vertices.select(col("key"), col("v"), col("v").as("label"))
-      .transform(graft.core.Materialize.stageCut)
+    // declared vertices + ghost endpoints (decl=false), so bridging through
+    // an undeclared endpoint matches runPerKey's union-find semantics
+    val init = vertices.select(col("key"), col("v"), lit(true).as("decl"))
+      .unionByName(edges.select(col("key"), col("a").as("v"), lit(false).as("decl")))
+      .unionByName(edges.select(col("key"), col("b").as("v"), lit(false).as("decl")))
+      .groupBy(col("key"), col("v")).agg(max(col("decl")).as("decl"))
+      .select(col("key"), col("v"), col("v").as("label"), col("decl"))
+    var (labels, labelsRdd) = graft.core.Materialize.stageCutHandle(init)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -50,17 +64,25 @@ object ConnectedComponents {
           labels("key"),
           labels("v"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
+          labels("decl"),
           (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
       val t0 = System.nanoTime()
-      val cp = graft.core.Materialize.stageCut(updated)
+      val (cp, cpRdd) = graft.core.Materialize.stageCutHandle(updated)
       val changed = cp.filter(col("changed")).limit(1).count()
-      labels = cp.select(col("key"), col("v"), col("new_label").as("label"))
+      labelsRdd.unpersist(blocking = false) // superseded; cp holds the data
+      labelsRdd = cpRdd
+      labels = cp.select(col("key"), col("v"), col("new_label").as("label"), col("decl"))
       converged = changed == 0L
       iter += 1
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
         System.err.println(f"[cc-timing] iter=$iter changed=${changed > 0} ${(System.nanoTime() - t0) / 1e9}%6.2f s")
     }
-    labels.withColumnRenamed("label", "component")
+    adjRdd.unpersist(blocking = false)
+    if (!converged)
+      System.err.println(s"[graft] WARNING: connected components did NOT converge in " +
+        s"$maxIter iterations — a component with diameter > $maxIter is split into " +
+        s"several labels; raise maxIter (or use large-star/small-star) for this graph")
+    labels.filter(col("decl")).select(col("key"), col("v"), col("label").as("component"))
   }
 
   /** Per-key exact components in ONE shuffle: groupByKey(key) + local
@@ -84,6 +106,9 @@ object ConnectedComponents {
       .groupByKey(_._1)
       .flatMapGroups { (key: String, rows: Iterator[(String, String, String)]) =>
         val parent = scala.collection.mutable.HashMap[String, String]()
+        // edge endpoints absent from the vertex stream BRIDGE components
+        // but are not emitted — the same contract as [[run]]
+        val declared = scala.collection.mutable.HashSet[String]()
         def add(x: String): Unit = if (!parent.contains(x)) parent(x) = x
         def find(x: String): String = {
           var r = x
@@ -93,7 +118,7 @@ object ConnectedComponents {
           r
         }
         rows.foreach { case (_, a, b) =>
-          if (b == null) add(a)
+          if (b == null) { add(a); declared += a }
           else {
             add(a); add(b)
             val ra = find(a); val rb = find(b)
@@ -110,7 +135,7 @@ object ConnectedComponents {
         // compression fires during emission (DetCheck reproduces; local
         // fetch order never hit the resize boundary).
         val ks = parent.keys.toArray
-        ks.iterator.map(v => (key, v, find(v)))
+        ks.iterator.filter(declared).map(v => (key, v, find(v)))
       }
       .toDF("key", "v", "component")
   }

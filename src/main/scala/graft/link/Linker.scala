@@ -105,17 +105,29 @@ object Linker {
         joined(collect_list(col("prop_set"))).as("prop_descs"))
   }
 
-  /** Candidate pairs via token blocking, scored with token_set_ratio.
-    * Deliberately NOT deduplicated: two names sharing k tokens emit the
+  /** Candidate pairs via token-PREFIX blocking, scored with token_set_ratio.
+    *
+    * The blocking key is each token's first 6 characters (the whole token
+    * when shorter): a superset of plain shared-token blocking that also
+    * reaches single-token spelling variants ("internationalization" /
+    * "internationalisation" score 95 with DISJOINT token sets — shared-token
+    * blocking never pairs them, the reference's O(n²) matcher does). Pairs
+    * agreeing on no 6-char token prefix remain out of blocking reach — the
+    * documented trade against the quadratic scan, which cannot scale.
+    * The join stays doc-scoped, so prefix hot keys fan out within one
+    * document only.
+    *
+    * Deliberately NOT deduplicated: two names sharing k prefixes emit the
     * pair k times, but the consumer is union-find, where redundant edges
     * are free — cheaper than the extra full shuffle a distinct() costs
     * (names are a handful of tokens, so k is tiny). `array_distinct` on
-    * the per-name token list keeps within-name token repeats out. */
+    * the per-name prefix list keeps within-name repeats out. */
   def matchedPairs(names: DataFrame): DataFrame = {
     val toks = names
       .select(col("doc_id"), col("name_norm"),
-        explode(array_distinct(
-          split(regexp_replace(col("name_norm"), "[^a-z0-9]+", " "), " "))).as("tok"))
+        explode(array_distinct(transform(
+          split(regexp_replace(col("name_norm"), "[^a-z0-9]+", " "), " "),
+          t => substring(t, 1, 6)))).as("tok"))
       .filter(col("tok") =!= "")
     val a = toks.select(col("doc_id"), col("tok"), col("name_norm").as("a"))
     val b = toks.select(col("doc_id").as("doc_id2"), col("tok").as("tok2"), col("name_norm").as("b"))
@@ -269,12 +281,15 @@ object Linker {
   }
 
   /** A member's resolution: doc-level canonical plus, when the member was
-    * AMBIGUOUS (several maximal candidates), the candidate set — each with
-    * (norm, display, doc-gathered descs) — so occurrences can be
-    * re-assigned per chunk (the reference assigns per log:
-    * node_matcher.py:199-296, reranker cache per entity within a log). */
+    * AMBIGUOUS (several maximal candidates), the candidate set — each as
+    * (norm, display) — so occurrences can be re-assigned per chunk (the
+    * reference assigns per log: node_matcher.py:199-296, reranker cache
+    * per entity within a log). Candidate context is NOT carried here: the
+    * downstream rerank joins the containment-gathered `cand_descs` itself,
+    * and shipping each candidate's doc-wide description text through the
+    * materialized `resolved` stage would be dead payload. */
   case class Resolution(name_norm: String, canonical_norm: String, canonical: String,
-                        candidates: Vector[(String, String, String)])
+                        candidates: Vector[(String, String)])
 
   /** Deterministic L7/L11 cluster resolution. Input members:
     * (name_norm, display, descs). */
@@ -302,7 +317,7 @@ object Linker {
           // per-chunk overrides re-score against the occurrence's own
           // context downstream
           val c = cands.maxBy(c => (TextFns.rerankScore(descs(n), descs(c) + " " + c), c))
-          Resolution(n, c, display(c), cands.map(m => (m, display(m), descs(m))))
+          Resolution(n, c, display(c), cands.map(m => (m, display(m))))
         }
       }
     }

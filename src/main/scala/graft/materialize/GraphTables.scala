@@ -103,12 +103,20 @@ object GraphTables {
         lower(trim(col("main_visual_entity"))).as("mv"), explode(col("nodes")).as("n"))
       .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
         lower(trim(col("n.name"))).as("name_norm"),
+        trim(col("n.name")).as("name_raw"),
         col("n.description").as("description"),
-        (col("is_visual") && col("mv") === lower(trim(col("n.name")))).as("viz"))
+        // coalesce: externally-persisted logs may carry is_visual=true with
+        // a null main_visual_entity — `true && null` is null, and max() over
+        // all-null viz would yield a null non-nullable NodeRow.is_visual
+        coalesce(col("is_visual") && col("mv") === lower(trim(col("n.name"))),
+          lit(false)).as("viz"))
     val mentionsCanon = resolveNames(mentions, mapping, "name_norm", "m")
       .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
         coalesce(col("m_canon_norm"), col("name_norm")).as("canonical_norm"),
-        coalesce(col("m_canon"), col("name_norm")).as("canonical"),
+        // display fallback for mapping misses (possible only with an
+        // external partial mapping) keeps the ORIGINAL casing, matching the
+        // in-pipeline display = min(raw) semantics — not the lowercased norm
+        coalesce(col("m_canon"), col("name_raw")).as("canonical"),
         col("description"), col("viz"))
 
     val nodesPlan = mentionsCanon
@@ -154,7 +162,7 @@ object GraphTables {
       .withColumnRenamed("d_canon_norm", "dst_canon_norm")
       .withColumnRenamed("d_canon", "dst_canon")))
 
-    val droppedEdges = resolved
+    val mappingMissDropped = resolved
       .filter(col("src_canon_norm").isNull || col("dst_canon_norm").isNull)
       .select(col("doc_id"), col("chunk_id"), col("source"), col("target"), col("relationship"))
 
@@ -167,18 +175,27 @@ object GraphTables {
 
     val realEdges = ok.filter(col("src_canon_norm") =!= col("dst_canon_norm"))
 
-    // triples: directional, canonical, distinct — the parity surface
-    val triples = realEdges
+    // edges table: resolve to node ids, dedup on undirected {frm,to}+desc.
+    // LEFT joins: an endpoint can resolve in the mapping (which covers edge
+    // mentions) yet have no NODE row (built from node mentions only) —
+    // such edges are dropped AND COUNTED below, per the reference contract
+    // (build_pipeline.py:283-284), and their triples are not emitted.
+    val srcNodes = nodeKeys.select(col("nk_doc").as("sn_doc"), col("nk_name").as("sn_name"), col("node_id").as("frm_id"))
+    val dstNodes = nodeKeys.select(col("nk_doc").as("dn_doc"), col("nk_name").as("dn_name"), col("node_id").as("to_id"))
+    val withBoth = realEdges
+      .join(srcNodes, col("doc_id") === col("sn_doc") && col("src_canon_norm") === col("sn_name"), "left")
+      .join(dstNodes, col("doc_id") === col("dn_doc") && col("dst_canon_norm") === col("dn_name"), "left")
+    val withIds = withBoth.filter(col("frm_id").isNotNull && col("to_id").isNotNull)
+    val droppedEdges = mappingMissDropped.unionByName(
+      withBoth.filter(col("frm_id").isNull || col("to_id").isNull)
+        .select(col("doc_id"), col("chunk_id"), col("source"), col("target"), col("relationship")))
+
+    // triples: directional, canonical, distinct — the parity surface;
+    // built from the node-resolved edges so triples and edges agree
+    val triples = withIds
       .select(col("doc_id"), col("src_canon").as("subj"),
         col("relationship").as("pred"), col("dst_canon").as("obj"))
       .distinct()
-
-    // edges table: resolve to node ids, dedup on undirected {frm,to}+desc
-    val srcNodes = nodeKeys.select(col("nk_doc").as("sn_doc"), col("nk_name").as("sn_name"), col("node_id").as("frm_id"))
-    val dstNodes = nodeKeys.select(col("nk_doc").as("dn_doc"), col("nk_name").as("dn_name"), col("node_id").as("to_id"))
-    val withIds = realEdges
-      .join(srcNodes, col("doc_id") === col("sn_doc") && col("src_canon_norm") === col("sn_name"))
-      .join(dstNodes, col("doc_id") === col("dn_doc") && col("dst_canon_norm") === col("dn_name"))
 
     val edges = withIds
       .withColumn("lo", least(col("frm_id"), col("to_id")))

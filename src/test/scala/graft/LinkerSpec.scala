@@ -122,6 +122,34 @@ class LinkerSpec extends SparkSpec {
     assert(out.forall(_._2 == "v00"), "single chain => one component rooted at min")
   }
 
+  test("undeclared edge endpoints bridge but are not emitted (run == runPerKey)") {
+    import spark.implicits._
+    val vs = Seq(("k", "a"), ("k", "b")).toDF("key", "v")
+    // "x" never appears as a vertex: it must connect a and b into one
+    // component without appearing in the output of either implementation
+    val es = Seq(("k", "a", "x"), ("k", "x", "b")).toDF("key", "a", "b")
+    val expect = Map("a" -> "a", "b" -> "a")
+    val got = ConnectedComponents.run(vs, es)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    val gotPerKey = ConnectedComponents.runPerKey(vs, es)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(got === expect)
+    assert(gotPerKey === expect)
+  }
+
+  test("prefix blocking reaches single-token spelling variants") {
+    import spark.implicits._
+    // disjoint token sets, no shared full token — shared-token blocking
+    // would never pair them; the reference's O(n^2) matcher scores them 95
+    val names = Seq(("d1", "internationalization"), ("d1", "internationalisation"))
+      .toDF("doc_id", "name_norm")
+      .withColumn("display", col("name_norm"))
+      .withColumn("descs", lit(""))
+    val pairs = Linker.matchedPairs(names)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("internationalisation", "internationalization")))
+  }
+
   test("blocking join finds exactly the >=95 pairs on a doc's names") {
     import spark.implicits._
     val names = Seq(

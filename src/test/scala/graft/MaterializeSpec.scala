@@ -53,6 +53,23 @@ class MaterializeSpec extends SparkSpec {
     assert(n2.metadata.map(_.chunk_id).sorted === Seq(0, 1))
   }
 
+  test("edge endpoint with no node row is dropped AND counted; its triple is not emitted") {
+    // "ghost" appears only as an edge target: the mapping covers it (edge
+    // mentions feed the mapping) but no node row exists — the reference
+    // drops such edges and counts them (build_pipeline.py:283-284)
+    val ds = spark.createDataset(Seq(
+      ExtractionLog("d9", 0, is_visual = false,
+        nodes = Seq(NodeExt("anchor", "a node")),
+        edges = Seq(EdgeExt("anchor", "ghost", "points at")),
+        properties = Seq(), main_visual_entity = "")))
+    val m = GraphTables.build(ds, Linker.canonicalMapping(ds))
+    assert(m.edges.count() === 0)
+    assert(m.droppedEdges.count() === 1)
+    val d = m.droppedEdges.collect().head
+    assert(d.getAs[String]("source") === "anchor" && d.getAs[String]("target") === "ghost")
+    assert(m.triples.count() === 0) // triples agree with the edges table
+  }
+
   test("one edge, two properties, no dropped edges") {
     assert(mat.edges.count() === 1)
     assert(mat.properties.count() === 2)
