@@ -330,8 +330,9 @@ object SparkEntry {
         |  / length(regexp_replace(text, '\s+', '', 'g'))) <= 0.4""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id AS id,
-        |  greatest(len(regexp_split_to_array(trim(text), '\s+')),
-        |           CAST(ceil(length(text) / 4.0) AS INT)) AS n_tokens
+        |  CASE WHEN text IS NULL THEN 0 ELSE
+        |    greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')),
+        |             CAST(ceil(length(text) / 4.0) AS INT)) END AS n_tokens
         |FROM documents""".stripMargin,
     "q_name_norm" ->
       "SELECT DISTINCT lower(trim(p_name)) AS name_norm FROM part",
@@ -417,17 +418,25 @@ object SparkEntry {
         |SELECT ida, idb, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
         |FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.8""".stripMargin,
     "q_quality" ->
-      """SELECT doc_id AS id,
-        |  len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_words,
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words,
+        |    regexp_replace(text, '\s+', '', 'g') AS no_ws
+        |  FROM documents
+        |)
+        |SELECT doc_id AS id,
+        |  len(words) AS n_words,
         |  length(text) AS n_chars,
-        |  round(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
-        |    / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS avg_word_len,
-        |  round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
-        |    x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) * 1.0
-        |    / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4) AS stopword_ratio,
-        |  round(length(regexp_replace(regexp_replace(text, '\s+', '', 'g'), '[A-Za-z]', '', 'g')) * 1.0
-        |    / length(regexp_replace(text, '\s+', '', 'g')), 4) AS non_alpha_ratio
-        |FROM documents""".stripMargin,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |    ELSE round(length(no_ws) * 1.0 / len(words), 4) END AS avg_word_len,
+        |  CASE WHEN len(words) = 0 THEN 0.0
+        |    ELSE round(len(list_filter(words,
+        |      x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) * 1.0
+        |      / len(words), 4) END AS stopword_ratio,
+        |  CASE WHEN length(no_ws) = 0 THEN 1.0
+        |    ELSE round(length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0
+        |      / length(no_ws), 4) END AS non_alpha_ratio
+        |FROM w""".stripMargin,
     "q_embed_neardup" ->
       """WITH c AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

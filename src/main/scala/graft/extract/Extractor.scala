@@ -167,7 +167,15 @@ object BoundedExec {
     // path: task parallelism already saturates the cores, and a pool per
     // partition would only add oversubscription.
     if (concurrency <= 1) return it.map(f)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+    // DAEMON threads + task-completion shutdown: pool.shutdown() on
+    // exhaustion alone would leak the (otherwise non-daemon) threads
+    // forever whenever f throws out of hasNext or a downstream
+    // limit()/take() abandons the iterator mid-partition — each task retry
+    // would then stack a fresh parked pool on a long-lived executor.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency,
+      (r: Runnable) => { val t = new Thread(r, "graft-bounded-exec"); t.setDaemon(true); t })
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
     val batches = it.grouped(batchSize)
     new Iterator[B] {
       private var cur: Iterator[B] = Iterator.empty
@@ -178,7 +186,8 @@ object BoundedExec {
           val futures = batch.map(a => pool.submit(new java.util.concurrent.Callable[B] {
             override def call(): B = f(a)
           }))
-          cur = futures.map(_.get()).iterator
+          try cur = futures.map(_.get()).iterator
+          catch { case e: Throwable => pool.shutdownNow(); closed = true; throw e }
         }
         val has = cur.hasNext
         if (!has && !closed) { pool.shutdown(); closed = true }

@@ -15,6 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * returned as UnsafeArrayData (no boxing). */
 case class EmbedText(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType}")
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "embed_text"
 

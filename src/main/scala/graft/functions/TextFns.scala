@@ -16,30 +16,28 @@ object TextFns {
 
   /** Token estimator (stand-in for tiktoken cl100k_base,
     * reference builder/reader/reader.py:226-238): hybrid of word count and
-    * chars/4, always >= 1 for non-empty text. */
+    * chars/4, always >= 1 for non-empty text. Word = maximal run matched
+    * by splitting on the REGEX \s+ — deliberately the same charset as the
+    * column twin (Java regex \s, NOT Character.isWhitespace, which also
+    * matches U+2028 etc. and would silently diverge the two forms). */
   def estimateTokens(text: String): Int = {
     if (text == null || text.isEmpty) 0
     else {
-      var words = 0
-      var inWord = false
-      var i = 0
-      while (i < text.length) {
-        val ws = Character.isWhitespace(text.charAt(i))
-        if (!ws && !inWord) { words += 1; inWord = true }
-        else if (ws) inWord = false
-        i += 1
-      }
+      val words = text.split("\\s+").count(_.nonEmpty)
       math.max(words, (text.length + 3) / 4)
     }
   }
 
   /** Column version of the token estimator — pure built-ins (codegen'd):
-    * greatest(word_count, ceil(len/4)). Must agree with estimateTokens. */
+    * greatest(non-empty-token count, ceil(len/4)). Must agree with
+    * [[estimateTokens]]: counting NON-EMPTY split pieces (instead of
+    * trimming first) makes leading/trailing whitespace of ANY kind — tabs,
+    * newlines — agree between the two forms and with the DuckDB oracle
+    * (trim() strips only ASCII spaces on both engines). */
   def estimateTokensCol(c: Column): Column = {
-    val trimmed = trim(c)
-    val words = when(length(trimmed) === 0, lit(0))
-      .otherwise(size(split(trimmed, "\\s+")))
-    greatest(words, ceil(length(c) / lit(4.0)).cast("int"))
+    val words = size(filter(split(c, "\\s+"), w => w =!= ""))
+    when(c.isNull, lit(0))
+      .otherwise(greatest(words, ceil(length(c) / lit(4.0)).cast("int")))
   }
 
   /** Non-alpha ratio with whitespace removed (reference chunk filter,

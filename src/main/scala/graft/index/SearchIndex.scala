@@ -26,21 +26,34 @@ object SearchIndex {
       col("level"),
       docIdOf.as("document_id"))
 
-    val edgeRows = edges.select(
-      col("id"),
-      col("description").as("text"),
-      lit("edge").as("type"),
-      lit(0).as("level"),
-      docIdOf.as("document_id"))
+    // Edge/property LEVEL comes from the owning/endpoint node, NOT a
+    // hardcoded 0: the pipeline unions level-1 community edges and
+    // level-1/2 community-finding and doc-keyword properties into these
+    // tables, and the reference's global search retrieves level-1 rows
+    // (community reports + community edges, global_search.py via
+    // SURVEY §3.3) while its local search must never surface them.
+    val ownerMeta = nodes.select(col("id").as("owner_id"),
+      col("name").as("owner_name"), col("level").as("owner_level"))
 
-    val ownerNames = nodes.select(col("id").as("owner_id"), col("name").as("owner_name"))
-    val propRows = properties
-      .join(ownerNames, col("node_id") === col("owner_id"), "left")
+    val edgeRows = edges
+      .join(ownerMeta.select(col("owner_id"), col("owner_level")),
+        col("frm") === col("owner_id"), "left")
       .select(
         col("id"),
-        concat_ws(", ", coalesce(col("owner_name"), lit("")), col("description")).as("text"),
+        col("description").as("text"),
+        lit("edge").as("type"),
+        coalesce(col("owner_level"), lit(0)).as("level"),
+        docIdOf.as("document_id"))
+
+    val propRows = properties
+      .join(ownerMeta, col("node_id") === col("owner_id"), "left")
+      .select(
+        col("id"),
+        // concat_ws skips NULLs (orphan owner), so no dangling ", " —
+        // coalescing to "" would defeat exactly that skip
+        concat_ws(", ", col("owner_name"), col("description")).as("text"),
         lit("property").as("type"),
-        lit(0).as("level"),
+        coalesce(col("owner_level"), lit(0)).as("level"),
         docIdOf.as("document_id"))
 
     nodeRows.union(edgeRows).union(propRows)

@@ -18,19 +18,25 @@ object TextAnalysis {
 
   /** Quality features per document:
     * n_words, n_chars, avg_word_len, stopword_ratio, non_alpha_ratio,
-    * all ratios rounded to 4 decimals (shared rounding with the oracle). */
+    * all ratios rounded to 4 decimals (shared rounding with the oracle).
+    * Words are NON-EMPTY \s+ split pieces — `split(trim(..))` would count
+    * 1 word for an empty document and a phantom token after a leading tab
+    * (trim strips only ASCII spaces). Empty documents report n_words=0 and
+    * 0.0 ratios on both the engine and oracle sides. Stopword membership
+    * uses the Column API, not an interpolated SQL string — a column name
+    * needing backticks would break an `expr(...)` form. */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = split(trim(lower(col(textCol))), "\\s+")
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
     val nWords = size(words)
-    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
-    val nStop = expr(s"size(filter(split(trim(lower($textCol)), '\\\\s+'), x -> x IN ($stopList)))")
+    val nStop = size(filter(words, w => w.isInCollection(Stopwords)))
+    def ratio(num: Column): Column =
+      when(nWords === 0, lit(0.0)).otherwise(round(num.cast("double") / nWords, 4))
     df.select(
       col(idCol).as("id"),
       nWords.cast("long").as("n_words"),
       length(col(textCol)).cast("long").as("n_chars"),
-      round(length(regexp_replace(trim(col(textCol)), "\\s+", "")).cast("double") / nWords, 4)
-        .as("avg_word_len"),
-      round(nStop.cast("double") / nWords, 4).as("stopword_ratio"),
+      ratio(length(regexp_replace(col(textCol), "\\s+", ""))).as("avg_word_len"),
+      ratio(nStop).as("stopword_ratio"),
       round(TextFns.nonAlphaRatioCol(col(textCol)), 4).as("non_alpha_ratio"))
   }
 

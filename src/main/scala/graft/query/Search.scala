@@ -39,20 +39,18 @@ object Search {
       .orderBy(col("distance").asc, col("id").asc)
       .limit(topN)
       .withColumn("score", rerankUdf(query)(col("text")))
-    // prefix-break at the first below-threshold score (score-ordered).
-    // The window is deliberately UNPARTITIONED (Spark warns): it runs over
-    // `hits`, which limit(topN) already bounded to <= 40 rows — the
-    // reference reranks exactly this top-n slice (quick_search.py:140-145),
-    // so a single-partition frame is correct and O(topN) at any corpus size.
+    // The reference breaks at the first below-threshold score in the
+    // score-ordered list (quick_search.py:180-209) — which, BECAUSE the
+    // list is score-ordered, is exactly `score > threshold`: no surviving
+    // row can be preceded by a below-threshold one, so a windowed
+    // prefix-break computation would be dead weight. The rank window is
+    // deliberately UNPARTITIONED (Spark warns): it runs over `hits`, which
+    // limit(topN) already bounded to <= 40 rows — a single-partition frame
+    // is correct and O(topN) at any corpus size.
     val w = Window.orderBy(col("score").desc, col("id").asc)
     hits
+      .filter(col("score") > threshold)
       .withColumn("rn", row_number().over(w))
-      // empty preceding frame (the top hit) sums to NULL -> coalesce to 0,
-      // otherwise the best-ranked result is always dropped
-      .withColumn("bad_before",
-        coalesce(sum(when(col("score") <= threshold, 1).otherwise(0))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
-      .filter(col("score") > threshold && col("bad_before") === 0)
       .select(col("id"), col("text"), col("type"), col("document_id"), col("score"), col("rn"))
   }
 
@@ -67,34 +65,38 @@ object Search {
   /** J8 — search-result enrichment (reference quick_search.py:212-244):
     * each hit joins back to its graph row by type; edges additionally
     * resolve endpoint names, properties resolve the owner name (the
-    * reference's "parent nodes"). Three type-partitioned left joins on id
-    * — the hit set is top-k small, so every probe side broadcasts. */
+    * reference's "parent nodes"). INNER joins with the hit side broadcast:
+    * every hit id exists in the table it was indexed from (the index is
+    * the union of exactly these tables), and a LEFT join here would defeat
+    * the broadcast — Spark cannot build the PRESERVED side of an outer
+    * join, so the hint would be silently ignored and each search would
+    * shuffle the full nodes/edges/properties tables against <= 40 rows. */
   def enrich(hits: DataFrame, nodes: DataFrame, edges: DataFrame,
              properties: DataFrame): DataFrame = {
     val h = broadcast(hits)
     val names = nodes.select(col("id").as("nid"), col("name"))
 
     val nodeHits = h.filter(col("type") === "node")
-      .join(nodes.select(col("id"), col("name"), col("description"), col("level")), Seq("id"), "left")
+      .join(nodes.select(col("id"), col("name"), col("description"), col("level")), Seq("id"))
       .select(col("id"), col("type"), col("text"), col("score"), col("document_id"),
         col("name").as("subject"), col("description").as("detail"),
         // reference parent_nodes for a node hit = [node.name]
         // (quick_search.py:228-230)
         array(col("name")).as("parent_names"))
 
-    val edgeHits = h.filter(col("type") === "edge")
-      .join(edges.select(col("id"), col("frm"), col("to"), col("description")), Seq("id"), "left")
-      .join(names.select(col("nid").as("frm"), col("name").as("frm_name")), Seq("frm"), "left")
-      .join(names.select(col("nid").as("to"), col("name").as("to_name")), Seq("to"), "left")
+    val edgeHits = broadcast(broadcast(h.filter(col("type") === "edge")
+      .join(edges.select(col("id"), col("frm"), col("to"), col("description")), Seq("id")))
+      .join(names.select(col("nid").as("frm"), col("name").as("frm_name")), Seq("frm")))
+      .join(names.select(col("nid").as("to"), col("name").as("to_name")), Seq("to"))
       .select(col("id"), col("type"), col("text"), col("score"), col("document_id"),
         concat_ws(" ↔ ", col("frm_name"), col("to_name")).as("subject"),
         col("description").as("detail"),
         // reference order: [edge.to.name, edge.frm.name] (quick_search.py:236)
         array(col("to_name"), col("frm_name")).as("parent_names"))
 
-    val propHits = h.filter(col("type") === "property")
-      .join(properties.select(col("id"), col("node_id"), col("description")), Seq("id"), "left")
-      .join(names.select(col("nid").as("node_id"), col("name").as("owner_name")), Seq("node_id"), "left")
+    val propHits = broadcast(h.filter(col("type") === "property")
+      .join(properties.select(col("id"), col("node_id"), col("description")), Seq("id")))
+      .join(names.select(col("nid").as("node_id"), col("name").as("owner_name")), Seq("node_id"))
       .select(col("id"), col("type"), col("text"), col("score"), col("document_id"),
         col("owner_name").as("subject"), col("description").as("detail"),
         array(col("owner_name")).as("parent_names"))
@@ -130,10 +132,15 @@ object Search {
       .distinct()
     val vh = visualHitParents.select(col("document_id").as("vh_doc"),
       col("pname_norm").as("vh_name"))
+    // try_element_at, NOT element_at: downstream INNER joins on node_doc /
+    // media_ref make Catalyst infer IsNotNull on these expressions and PUSH
+    // that predicate below the is_visual filter — under ANSI, element_at
+    // would then throw on the empty filtered array of a non-visual node
+    // before the is_visual predicate ever prunes it.
     nodes.filter(col("is_visual") && col("level") === 0)
-      .withColumn("node_doc", element_at(col("metadata"), 1).getField("document_id"))
+      .withColumn("node_doc", try_element_at(col("metadata"), lit(1)).getField("document_id"))
       .withColumn("media_ref",
-        element_at(filter(col("metadata"), m => m.getField("visual").isNotNull), 1)
+        try_element_at(filter(col("metadata"), m => m.getField("visual").isNotNull), lit(1))
           .getField("visual").getField("media_ref"))
       .join(broadcast(vh),
         col("node_doc") === col("vh_doc") && lower(trim(col("name"))) === col("vh_name"))
@@ -149,7 +156,10 @@ object Search {
     * every provenance entry at corpus scale). This join closes the loop:
     * [[suitableVisuals]] results recover their text from the spans table by
     * (document_id, media_ref). The visuals side is top-k small → broadcast;
-    * the spans scan prunes to media spans only. */
+    * the spans scan prunes to media spans only. INNER join: every media_ref
+    * in a visual's provenance originates from a span of that document, and
+    * a LEFT join would defeat the broadcast (the preserved side of an
+    * outer join cannot be the build side). */
   def visualContent(visuals: DataFrame, docs: DataFrame): DataFrame = {
     val spans = docs.select(col("doc_id"), explode(col("spans")).as("s"))
       .filter(col("s.media_ref") =!= "")
@@ -157,7 +167,7 @@ object Search {
         col("s.text").as("content"))
     broadcast(visuals).join(spans,
         visuals("document_id") === spans("doc_id") &&
-          visuals("media_ref") === spans("media_ref"), "left")
+          visuals("media_ref") === spans("media_ref"))
       .select(visuals("id"), visuals("name"), visuals("description"),
         visuals("document_id"), visuals("media_ref"), col("content"))
   }
