@@ -85,7 +85,11 @@ leg() {
     PIDS+=($!)
   done
   sleep 4
-  GRAFT_STAGE_TIMING=${GRAFT_STAGE_TIMING:-} \
+  # pass GRAFT_STAGE_TIMING only when the caller actually set it non-empty:
+  # an unconditional VAR=${VAR:-} assignment exports the EMPTY string, and
+  # the engine gates diagnostics on sys.env.contains — the opt-in would be
+  # silently always-on for every cluster leg
+  env ${GRAFT_STAGE_TIMING:+GRAFT_STAGE_TIMING=$GRAFT_STAGE_TIMING} \
   GRAFT_EXEC_HEAP_GB=$EXEC_HEAP_GB \
   java $ADD_OPENS -Xms4g -Xmx4g -XX:+AlwaysPreTouch \
     -Dgraft.execJavaOpts="$EXEC_OPTS" \

@@ -210,6 +210,14 @@ object ScalingBench {
     val nDocs = rows.head.docs
     val l8 = rows.filter(_.cores == 8)
     val l32 = rows.filter(_.cores == 32)
+    // pairing gate: legs are paired POSITIONALLY (round k's 8c row with
+    // round k's 32c row), so a single crashed leg (the driver script
+    // swallows leg exit codes) would silently misalign every later pair —
+    // require the csv to be complete, alternating (8c, 32c) rounds.
+    require(rows.size == l8.size + l32.size && l8.size == l32.size &&
+      rows.grouped(2).forall(p => p.size == 2 && p(0).cores == 8 && p(1).cores == 32),
+      s"csv legs are not complete alternating (8c, 32c) rounds " +
+        s"(${rows.map(_.cores).mkString(",")}) — a leg crashed; refusing to pair")
     val bestT8 = l8.map(_.wall).min; val bestT32 = l32.map(_.wall).min
     val engineSpeedup = bestT8 / bestT32
     val hwSpeedup = l8.map(_.calib).min / l32.map(_.calib).min

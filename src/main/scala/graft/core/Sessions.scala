@@ -21,8 +21,36 @@ import org.apache.spark.sql.SparkSession
   *     ObjectInputStream hot frames on the same samples.
   *
   * Both are read at SparkContext construction, so they must be set on the
-  * builder, not with `spark.conf.set` afterwards (the SQL-level tuning the
-  * pipeline can set at runtime lives in BuildPipeline.run instead).
+  * builder, not with `spark.conf.set` afterwards.
+  *
+  * The four SQL-level settings below are the engine's session defaults
+  * (formerly mutated inside BuildPipeline.run — a build must NOT leak conf
+  * changes into a caller's session, so they live here, set once at
+  * construction; `GRAFT_EXTRA_CONF` below still overrides any of them for
+  * A/B runs):
+  *
+  *   - `autoBroadcastJoinThreshold=-1` — corpus-proportional intermediates
+  *     must never be driver-broadcast: building + java-serializing an
+  *     UnsafeHashedRelation is SINGLE-THREADED on the driver and stalls
+  *     every executor while it runs (jstack at 96k docs: one
+  *     broadcast-exchange thread RUNNABLE, all workers parked) — a
+  *     non-scaling cost that grows with the corpus on a real cluster too.
+  *     Explicit broadcast() hints (genuinely tiny tables) are unaffected.
+  *   - `preferSortMergeJoin=false` — the build's equi-joins key on
+  *     (doc_id[, chunk_id], name): the probe side is the wide mention
+  *     stream, the build side slim mapping/node-key relations.
+  *     ShuffledHashJoin streams the probe side unsorted; SMJ would SORT
+  *     the wide side in every join — at 32 concurrent sort tasks that
+  *     saturates memory bandwidth long before CPU (measured: materialize
+  *     stages 15 s on 8 cores vs ~175 s on 32 under SMJ).
+  *   - `shuffledHashJoinLocalMapThreshold=128m` — static SHJ eligibility
+  *     derives from autoBroadcastJoinThreshold (disabled above), so the
+  *     conversion happens at RUNTIME: AQE rewrites SMJ→SHJ whenever the
+  *     accurate per-partition build-side size is under this threshold.
+  *   - `objectHashAggregate.sortBased.fallbackThreshold` — collect_set
+  *     provenance aggregations silently fall back to SORT-based
+  *     aggregation after 128 in-memory groups (default); groups here are
+  *     per-(doc, name) and small, so keep the agg hash-based.
   */
 object Sessions {
 
@@ -37,6 +65,10 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.storage.memoryMapThreshold", "1g")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "134217728")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
     // diagnostic toggle: shuffle scratch on tmpfs — a single shared spinning
     // disk is not a per-executor resource on a real cluster
     sys.env.get("GRAFT_SHM_LOCALDIR").foreach { _ =>

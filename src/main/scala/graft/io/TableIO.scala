@@ -51,19 +51,26 @@ class ParquetTableIO(base: String) extends TableIO {
   /** Metadata-only count: sums the row counts in each part-file's parquet
     * FOOTER (a few KB of trailer bytes per file, read on the driver) —
     * no Spark job, no data scan. Iceberg's equivalent reads the snapshot
-    * summary; this is the parquet-path analog. */
+    * summary; this is the parquet-path analog. The listing is RECURSIVE:
+    * [[appendBatch]] tables nest their part files under `_batch_id=N/`
+    * partition directories, which a flat listing would silently count
+    * as 0 — masking exactly the data loss lineage exists to catch. */
   override def rowCount(spark: SparkSession, table: String): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(path(table))
     val fs = dir.getFileSystem(conf)
-    fs.listStatus(dir).iterator
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
+    val it = fs.listFiles(dir, true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
         val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-        try r.getRecordCount finally r.close()
-      }.sum
+        total += (try r.getRecordCount finally r.close())
+      }
+    }
+    total
   }
 }
 

@@ -50,34 +50,17 @@ object BuildPipeline {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // Corpus-proportional intermediates must never be driver-broadcast:
-    // building + java-serializing an UnsafeHashedRelation is SINGLE-THREADED
-    // on the driver and stalls every executor while it runs (jstack at 96k
-    // docs: one broadcast-exchange thread RUNNABLE, all workers parked) —
-    // a non-scaling cost that grows with the corpus on a real cluster too.
-    // Shuffle joins on the build's doc-scoped keys scale with cores.
-    // Explicit broadcast() hints (genuinely tiny query-side tables) are
-    // unaffected by the threshold.
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // The build's equi-joins all key on (doc_id[, chunk_id], name): the
-    // probe side is the wide mention stream, the build side the slim
-    // mapping/node-key relations. ShuffledHashJoin streams the probe side
-    // unsorted; SortMergeJoin would SORT the wide side in every join —
-    // at 32 concurrent sort tasks that saturates memory bandwidth long
-    // before CPU (measured: the materialize stages ran 15 s on 8 cores vs
-    // ~175 s on 32 in adjacent windows under SMJ).
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-    // ...but static SHJ eligibility is derived from autoBroadcastJoinThreshold
-    // (disabled above), so the actual conversion happens at RUNTIME: AQE
-    // rewrites an SMJ to a shuffled hash join whenever the accurate runtime
-    // per-partition build-side size is under this threshold. 128 MB per
-    // partition comfortably holds the mapping/node-key build sides.
-    spark.conf.set("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "134217728")
-    // collect_set aggregations (provenance metadata) use ObjectHashAggregate,
-    // which silently falls back to SORT-based aggregation after 128
-    // in-memory groups (default threshold) — same bandwidth wall. Groups
-    // here are per-(doc, name) and small; keep the agg hash-based.
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    // The build's session tuning (no corpus-sized driver broadcasts, AQE
+    // shuffled hash joins on the doc-scoped keys, hash-based provenance
+    // aggs) lives in graft.core.Sessions.builder — set once at session
+    // construction, never mutated here: a build must not leak conf changes
+    // into the caller's session (queries run AFTER a build would silently
+    // inherit build-scoped tuning). On a foreign session, warn instead of
+    // mutating: the rationale for each setting is documented on Sessions.
+    if (spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold").forall(_ != "-1"))
+      System.err.println("[graft] note: this session lacks the engine tuning from " +
+        "graft.core.Sessions (autoBroadcastJoinThreshold != -1); corpus-sized " +
+        "intermediates may be driver-broadcast — build sessions with Sessions.builder")
 
     // Without a work dir, a stage is materialized (eager persist) only when
     // >= 2 downstream consumers would otherwise recompute its lineage (the
