@@ -37,7 +37,10 @@ object Visualizer {
   /** Level slice + degree + level-internal edges, all DataFrame-side.
     * Returns (vizNodes, vizEdges):
     * vizNodes = (id, name, description, community_id, degree);
-    * vizEdges = (frm_name, to_name, description). */
+    * vizEdges = (frm, to, frm_name, to_name, description) — endpoint IDS
+    * travel alongside the display names because level-0 names are NOT
+    * unique across documents ("Acme Corp" in two docs = two nodes); the
+    * render keys everything by id and uses the name only as a label. */
   def visualData(nodes: DataFrame, edges: DataFrame, level: Int = 0,
                  maxNodes: Int = 2000): (DataFrame, DataFrame) = {
     val lvl = nodes.filter(col("level") === level)
@@ -55,7 +58,7 @@ object Visualizer {
     val ve = edges
       .join(ids.select(col("id").as("frm"), col("name").as("frm_name")), Seq("frm"))
       .join(ids.select(col("id").as("to"), col("name").as("to_name")), Seq("to"))
-      .select(col("frm_name"), col("to_name"), col("description"))
+      .select(col("frm"), col("to"), col("frm_name"), col("to_name"), col("description"))
     (vn, ve)
   }
 
@@ -92,20 +95,25 @@ object Visualizer {
 
   /** Render the bounded collected rows to one self-contained HTML page.
     * Deterministic: palette index = sorted community_id rank; layout seeds
-    * from a fixed PRNG seed; nodes/edges are emitted in sorted order. */
+    * from a fixed PRNG seed; nodes/edges are emitted in sorted order.
+    * Node identity is the node ID, never the display name — level-0 names
+    * repeat across documents, and keying by name would collapse
+    * same-named nodes and attach both documents' edges to one circle. */
   def renderHtml(vizNodes: Seq[Row], vizEdges: Seq[Row]): String = {
     val comms = vizNodes.map(_.getAs[String]("community_id")).distinct.sorted
     val n = math.max(1, comms.size)
     val color = comms.zipWithIndex.map { case (c, i) => c -> hlsToHex(i.toDouble / n) }.toMap
-    val nodesJson = vizNodes.sortBy(_.getAs[String]("name")).map { r =>
-      val name = r.getAs[String]("name")
-      s"{\"id\":${jsonStr(name)},\"label\":${jsonStr(name)}," +
-        s"\"title\":${jsonStr(Option(r.getAs[String]("description")).getOrElse(""))}," +
-        s"\"value\":${r.getAs[Long]("degree")}," +
-        s"\"color\":${jsonStr(color(r.getAs[String]("community_id")))}}"
-    }.mkString("[", ",", "]")
+    val nodesJson = vizNodes
+      .sortBy(r => (r.getAs[String]("name"), r.getAs[String]("id")))
+      .map { r =>
+        s"{\"id\":${jsonStr(r.getAs[String]("id"))}," +
+          s"\"label\":${jsonStr(r.getAs[String]("name"))}," +
+          s"\"title\":${jsonStr(Option(r.getAs[String]("description")).getOrElse(""))}," +
+          s"\"value\":${r.getAs[Long]("degree")}," +
+          s"\"color\":${jsonStr(color(r.getAs[String]("community_id")))}}"
+      }.mkString("[", ",", "]")
     val edgesJson = vizEdges
-      .map(r => (r.getAs[String]("frm_name"), r.getAs[String]("to_name"),
+      .map(r => (r.getAs[String]("frm"), r.getAs[String]("to"),
         Option(r.getAs[String]("description")).getOrElse("")))
       .sorted
       .map { case (f, t, d) =>
@@ -154,7 +162,7 @@ function draw(){
 }
 let ticks=0;(function loop(){step();draw();if(++ticks<300)requestAnimationFrame(loop)})();
 const selEl=document.getElementById('sel');
-for(const nd of NODES){const o=document.createElement('option');o.value=o.textContent=nd.id;selEl.appendChild(o)}
+for(const nd of NODES){const o=document.createElement('option');o.value=nd.id;o.textContent=nd.label;selEl.appendChild(o)}
 selEl.onchange=()=>{sel=selEl.value||null;draw()};
 const tip=document.getElementById('tip');
 cv.onmousemove=e=>{const mx=e.clientX,my=e.clientY-40;let hit=null;

@@ -56,11 +56,30 @@ class VisualizerSpec extends SparkSpec {
     Seq("alpha", "beta", "gamma").foreach(n => assert(h1.contains("\"" + n + "\"")))
     assert(!h1.contains("http")) // no CDN — works on an offline cluster edge node
     assert(h1.contains("\\u003cdesc>")) // description embedded, < escaped
+    // edges reference node IDS (names are labels only)
+    assert(h1.contains("\"from\":\"n1\",\"to\":\"n2\""))
     // two communities -> exactly two distinct palette colors, same color within c1
     val colors = "#[0-9a-f]{6}".r.findAllIn(h1).toSeq.filterNot(_ == "#000000")
     val nodeColors = "\"color\":\"(#[0-9a-f]{6})\"".r.findAllMatchIn(h1).map(_.group(1)).toSeq
     assert(nodeColors.size === 3 && nodeColors.distinct.size === 2)
     assert(colors.nonEmpty)
+  }
+
+  test("same-named nodes from different documents stay distinct (keyed by id)") {
+    val nn = Seq(
+      NodeRow("a1", "acme corp", "doc1's acme", 0, is_visual = false, "c1", Seq(), meta("d1", 0)),
+      NodeRow("a2", "acme corp", "doc2's acme", 0, is_visual = false, "c2", Seq(), meta("d2", 0)),
+      NodeRow("b1", "beta", "", 0, is_visual = false, "c1", Seq(), meta("d1", 0))
+    ).toDF()
+    val ee = Seq(EdgeRow("e1", "a2", "b1", "cites", meta("d2", 0))).toDF()
+    val (vn, ve) = Visualizer.visualData(nn, ee, level = 0)
+    val html = Visualizer.renderHtml(vn.collect().toSeq, ve.collect().toSeq)
+    // both acme nodes render as separate JSON entries with their own ids
+    assert(html.contains("\"id\":\"a1\"") && html.contains("\"id\":\"a2\""))
+    // the edge attaches to a2 specifically, not to whichever 'acme corp'
+    // happened to be indexed last
+    assert(html.contains("\"from\":\"a2\",\"to\":\"b1\""))
+    assert(!html.contains("\"from\":\"a1\""))
   }
 
   test("visualizeGraph writes the html file end-to-end") {
