@@ -274,6 +274,15 @@ object SparkEntry {
       val r = kg(s, d)
       graft.query.GraphOps.stats(r.nodes, r.edges, r.properties)
     }),
+    // Pre-build cost/time estimate (reference tools/estimator.py analog):
+    // one narrow agg over the chunks table; formulas gated by ChunkerSpec
+    // against the reference's published numbers — rows-only here.
+    "kg_estimate" -> ((s, d) => {
+      val e = graft.pipeline.Estimator.estimate(kg(s, d).chunks.toDF())
+      import s.implicits._
+      Seq((e.numChunks, e.totalTokens, e.model, e.estimatedCostUsd, e.estimatedTime))
+        .toDF("num_chunks", "total_tokens", "model", "estimated_cost_usd", "estimated_time")
+    }),
     // Visualizer data prep (level slice + degree + level-internal edges) —
     // the distributed half of viz/Visualizer; HTML render gated by
     // VisualizerSpec, rows-only here.

@@ -18,5 +18,13 @@ object PlanCheck {
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
+    // the KG query plans matter under the ENGINE session (autoBroadcast
+    // disabled — explicit broadcast() hints must carry the tiny hit sides)
+    val es = graft.core.Sessions.local(8, "graft-plan-check-kg")
+    Seq("kg_search_enriched", "kg_viz_nodes").foreach { name =>
+      println(s"\n===================== $name (engine session) =====================")
+      graft.SparkEntry.queries(name)(es, sfDir).explain("formatted")
+    }
+    es.stop()
   }
 }
