@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   * Prints exactly one JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the f interpolator is locale-sensitive: a comma-decimal default
+    // locale would render 12,345 inside the JSON line and break the
+    // driver's json.load — pin ROOT before any formatting
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Sessions.local(cpus.toInt, "graft-bench")
@@ -44,7 +48,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    val extra = f""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_docs_per_sec":${nDocs / kgSecs}%.2f,"kg_triples_per_sec":${nTriples / kgSecs}%.2f"""
+    // a failed headline build (nTriples = -1 sentinel) must not report
+    // plausible-looking positive docs/sec for a build that produced nothing
+    val (dps, tps) =
+      if (nTriples < 0 || kgSecs <= 0) (0.0, 0.0)
+      else (nDocs / kgSecs, nTriples / kgSecs)
+    val extra = f""""kg_docs":$nDocs,"kg_triples":$nTriples,"kg_docs_per_sec":$dps%.2f,"kg_triples_per_sec":$tps%.2f"""
     val scaling = scalingSummary.map(s => s""","scaling":$s""").getOrElse("")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,$extra%s$scaling%s,"sf":"$sfDir%s"}""")
     spark.stop()
@@ -70,9 +79,12 @@ object Bench {
     }.toVector finally src.close()
     // only rows from the CURRENT engine generation enter the reported
     // distribution — older-methodology / older-binary rows stay in the md
-    // for the record but must not mix into this binary's numbers
-    val gen = all.filter(_._6.contains(s"gen=${graft.app.ScalingBench.Generation}"))
-    val rows = if (gen.nonEmpty) gen else all
+    // for the record but must not mix into this binary's numbers. No
+    // fallback to older generations: a fresh generation with no campaign
+    // yet reports NO scaling block rather than mislabeling old numbers.
+    // Trailing space makes the match token-exact (gen=g4 must not match a
+    // future gen=g40 row).
+    val rows = all.filter(_._6.contains(s"gen=${graft.app.ScalingBench.Generation} "))
     if (rows.isEmpty) return None
     def fmt(xs: Seq[Double]) = xs.sorted.map(x => f"$x%.2f").mkString("[", ",", "]")
     def list(notes: String, key: String): Vector[Double] = {

@@ -273,6 +273,9 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // csv rows and md rows are f-formatted; a comma-decimal default locale
+    // would corrupt both — pin ROOT before any formatting
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     if (args.length >= 4 && args(0) == "cluster")
       return runCluster(args(1), args(2).toInt, args(3).toLong,
         if (args.length > 4) args(4) else "/tmp/scaling_raw.csv")

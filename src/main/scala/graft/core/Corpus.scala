@@ -275,6 +275,8 @@ object Corpus {
     * sf0.01 → 600, sf0.1 → 6000); fallback 200. */
   def docsForSfDir(sfDir: String): Long = {
     val m = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-    m.map(g => math.max(60L, (g.group(1).toDouble * 60000).toLong)).getOrElse(200L)
+    // math.round, not truncation: 0.29 * 60000 is 17399.999… in binary
+    // floating point, and toLong would yield one doc fewer than sf*60000
+    m.map(g => math.max(60L, math.round(g.group(1).toDouble * 60000))).getOrElse(200L)
   }
 }

@@ -115,7 +115,9 @@ object Sessions {
     // single straggler idles every other core until the stage barrier; a
     // few waves let the scheduler backfill (real clusters run 2-4 waves).
     // Scales with the leg's core count, so both legs see the same waves.
-    val tasksPerCore = sys.env.get("GRAFT_TASKS_PER_CORE").map(_.toInt).getOrElse(1)
+    // Default 2 — the one-wave layout is exactly the straggler-pathological
+    // configuration described above, so it should never be the default.
+    val tasksPerCore = sys.env.get("GRAFT_TASKS_PER_CORE").map(_.toInt).getOrElse(2)
     val b = builder(masterUrl, appName, totalCores * tasksPerCore)
       .config("spark.cores.max", totalCores.toString)
       .config("spark.executor.cores", execCores.toString)

@@ -94,6 +94,16 @@ class CatalogTableIO(db: String) extends TableIO {
         .createOrReplace()
     else stamped.writeTo(name(table)).overwritePartitions()
   }
+
+  /** Metadata-only count on the catalog path: Iceberg's `<table>.files`
+    * metadata table carries a per-data-file `record_count`, so lineage
+    * never re-scans the stage output it just wrote (the trait default
+    * count() would — the exact per-stage re-scan Checkpoints forbids).
+    * Falls back to a count() for catalogs without the metadata table. */
+  override def rowCount(spark: SparkSession, table: String): Long =
+    try spark.sql(s"SELECT coalesce(sum(record_count), 0) FROM ${name(table)}.files")
+      .head().getLong(0)
+    catch { case _: Exception => read(spark, table).count() }
 }
 
 /** Per-stage checkpoint + lineage/metrics (replaces the reference's mutable

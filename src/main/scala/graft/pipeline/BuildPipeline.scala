@@ -38,7 +38,12 @@ object BuildPipeline {
       triples: DataFrame, // parity surface (doc_id, subj, pred, obj)
       documents: DataFrame,
       searchIndex: DataFrame,
-      droppedEdges: DataFrame)
+      droppedEdges: DataFrame,
+      // frees the no-workdir stage-cut caches; lineage stays intact, so a
+      // late consumer recomputes instead of failing. Call once the outputs
+      // are persisted (the streaming path calls it per micro-batch); a
+      // no-op in checkpointed mode.
+      cleanup: () => Unit = () => ())
 
   /** `docTags`: optional sidecar `(doc_id, tags: map<string,string>)` —
     * the input table keeps the canonical (doc_id, spans) shape, tags ride
@@ -82,11 +87,21 @@ object BuildPipeline {
     // partition from the (deterministic, seeded) upstream instead of
     // crashing or corrupting — block availability can cost time, never
     // correctness.
+    // handles of the no-workdir stage cuts, so BuildResult.cleanup can free
+    // them deterministically once the caller has persisted the outputs —
+    // a long-running stream would otherwise accumulate ~9 cached RDDs per
+    // micro-batch until driver GC (or forever under GRAFT_NO_CLEANER)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
     def stage(name: String, shared: Boolean = true)(compute: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val out = checkpoints match {
         case Some(cp) => cp.stage(name)(compute)
-        case None => if (shared) Materialize.stageCut(compute) else compute
+        case None =>
+          if (shared) {
+            val (df, rdd) = Materialize.stageCutHandle(compute)
+            cuts += rdd
+            df
+          } else compute
       }
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
         System.err.println(f"[stage-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
@@ -102,13 +117,15 @@ object BuildPipeline {
     // Independent of the chunk→extract→link chain (it reads only the raw
     // docs) — runs concurrently with ALL of it; first consumer is the
     // community layer, which awaits it.
+    // (no per-doc token count here: the documents registry sums the
+    // CHUNKS' token_num — a doc-level estimateTokens over the full text
+    // would be an O(text) pass per document whose result nothing reads)
     val docMetaF = fork(stage("doc_meta") {
       Chunker.fullTexts(docs).mapPartitions { it =>
         BoundedExec.mapBounded(it, extractor.maxConcurrency) { case (docId, txt) =>
-          (docId, extractor.keywords(txt), extractor.summary(txt),
-            graft.functions.TextFns.estimateTokens(txt))
+          (docId, extractor.keywords(txt), extractor.summary(txt))
         }
-      }.toDF("doc_id", "keywords", "summary", "token_num")
+      }.toDF("doc_id", "keywords", "summary")
     })
 
     // --- chunking ---------------------------------------------------------
@@ -191,7 +208,8 @@ object BuildPipeline {
     val searchIndex = stage("search_index", shared = false)(SearchIndex.build(nodes, edges, properties))
 
     BuildResult(chunks, logs, mapping, nodes, edges, properties, triples,
-      documents, searchIndex, dropped)
+      documents, searchIndex, dropped,
+      () => cuts.foreach(_.unpersist(blocking = false)))
   }
 
   /** Parity metric: precision / recall of distinct (doc_id, subj, pred, obj)
@@ -199,9 +217,16 @@ object BuildPipeline {
   def parity(got: DataFrame, expected: DataFrame): (Double, Double) = {
     val g = got.select("doc_id", "subj", "pred", "obj").distinct().cache()
     val e = expected.select("doc_id", "subj", "pred", "obj").distinct().cache()
-    val inter = g.intersect(e).count().toDouble
-    val gc = g.count().toDouble
-    val ec = e.count().toDouble
-    (if (gc == 0) 0.0 else inter / gc, if (ec == 0) 0.0 else inter / ec)
+    try {
+      val inter = g.intersect(e).count().toDouble
+      val gc = g.count().toDouble
+      val ec = e.count().toDouble
+      (if (gc == 0) 0.0 else inter / gc, if (ec == 0) 0.0 else inter / ec)
+    } finally {
+      // deterministic release — a verify loop calling parity() per round
+      // would otherwise pin two cached tables per call for the session
+      g.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
   }
 }

@@ -75,5 +75,8 @@ object StreamingBuild {
     io.appendBatch(r.properties, "properties", batchId)
     io.appendBatch(r.documents, "documents", batchId)
     io.appendBatch(r.searchIndex, "search_index", batchId)
+    // all six tables are persisted — free this batch's stage-cut caches,
+    // or a long stream accumulates ~9 cached RDDs per micro-batch
+    r.cleanup()
   }
 }
