@@ -31,10 +31,15 @@ object OracleCheck {
         .join(sig.select(col("id").as("idb"), col("sig").as("sb")), Seq("idb"))
         .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("h"))
         .agg(max(col("h")).as("max_h"), avg(col("h")).as("avg_h")).collect()(0)
+      // max/avg over zero rows are null — an empty exact pair set must not
+      // NPE the audit before it prints its (trivially green) counters
+      val hamStr =
+        if (hams.isNullAt(0)) "exact_pair_hamming(n/a: empty exact set)"
+        else f"exact_pair_hamming(max=${hams.getInt(0)} avg=${hams.getDouble(1)}%.1f)"
       println(s"[oraclecheck] $sf exact=$nEx" +
         s" mh_missing=${exact.exceptAll(mh).count()} mh_spurious=${mh.exceptAll(exact).count()}" +
         s" sh_missing=${exact.exceptAll(sh).count()} sh_spurious=${sh.exceptAll(exact).count()}" +
-        f" exact_pair_hamming(max=${hams.getInt(0)} avg=${hams.getDouble(1)}%.1f)")
+        s" $hamStr")
     }
     spark.stop()
   }

@@ -23,7 +23,21 @@ object TextFns {
   def estimateTokens(text: String): Int = {
     if (text == null || text.isEmpty) 0
     else {
-      val words = text.split("\\s+").count(_.nonEmpty)
+      // allocation-free count of maximal non-whitespace runs — identical
+      // to split("\\s+").count(_.nonEmpty) but without the per-call
+      // Pattern compile + token-array allocation (this runs once per span
+      // AND once per chunk across the whole corpus). Whitespace = the Java
+      // regex \s charset exactly: [ \t\n\f\r].
+      var words = 0
+      var inWord = false
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+        if (ws) inWord = false
+        else if (!inWord) { words += 1; inWord = true }
+        i += 1
+      }
       math.max(words, (text.length + 3) / 4)
     }
   }

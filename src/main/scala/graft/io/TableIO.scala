@@ -101,7 +101,12 @@ class CatalogTableIO(db: String) extends TableIO {
     * count() would — the exact per-stage re-scan Checkpoints forbids).
     * Falls back to a count() for catalogs without the metadata table. */
   override def rowCount(spark: SparkSession, table: String): Long =
-    try spark.sql(s"SELECT coalesce(sum(record_count), 0) FROM ${name(table)}.files")
+    // content = 0 restricts to DATA files: on a format-v2 table `.files`
+    // also lists position/equality delete files whose record_count is the
+    // number of DELETED rows — summing those would overcount and mask the
+    // exact data-loss signal this lineage column exists to catch
+    try spark.sql(s"SELECT coalesce(sum(record_count), 0) FROM ${name(table)}.files" +
+        " WHERE content = 0")
       .head().getLong(0)
     catch { case _: Exception => read(spark, table).count() }
 }

@@ -36,7 +36,15 @@ object ConnectedComponents {
     * `maxIter` the partial labels are still returned — one component may
     * be reported as several — with a loud stderr warning, since silently
     * splitting a component would corrupt dedup groups downstream. */
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame =
+    runHandle(vertices, edges, maxIter)._1
+
+  /** [[run]] plus the final persisted label RDD, so long-lived callers can
+    * free the one cache this loop leaves behind deterministically (the
+    * lineage is kept — a post-unpersist consumer recomputes instead of
+    * failing). */
+  def runHandle(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
     // adjacency in both directions, deduped
     val (adj, adjRdd) = graft.core.Materialize.stageCutHandle(
       edges.select(col("key"), col("a"), col("b"))
@@ -82,7 +90,8 @@ object ConnectedComponents {
       System.err.println(s"[graft] WARNING: connected components did NOT converge in " +
         s"$maxIter iterations — a component with diameter > $maxIter is split into " +
         s"several labels; raise maxIter (or use large-star/small-star) for this graph")
-    labels.filter(col("decl")).select(col("key"), col("v"), col("label").as("component"))
+    (labels.filter(col("decl")).select(col("key"), col("v"), col("label").as("component")),
+      labelsRdd)
   }
 
   /** Per-key exact components in ONE shuffle: groupByKey(key) + local

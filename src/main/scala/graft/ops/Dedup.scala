@@ -184,26 +184,39 @@ object Dedup {
     * union-find — min-label propagation rounds are bounded by component
     * diameter, which near-dup transitivity keeps shallow.
     * Output: (id, group, keep). Singleton docs keep themselves. */
-  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    dedupClustersHandle(df, idCol, pairs)._1
+
+  /** [[dedupClusters]] plus a cleanup thunk for long-lived sessions: the
+    * expensive pair-table cache is ALWAYS freed eagerly here (once CC has
+    * converged the label cache carries everything the output plan reads;
+    * kept lineage means a post-unpersist block loss recomputes instead of
+    * failing), and the thunk frees the remaining small label cache once
+    * the caller has consumed/persisted the result — without it, repeated
+    * invocations in one session would pin one label table each. */
+  def dedupClustersHandle(df: DataFrame, idCol: String,
+                          pairs: DataFrame): (DataFrame, () => Unit) = {
     import graft.link.ConnectedComponents
     // materialize the pair stage ONCE (it is typically the output of an
     // expensive LSH pipeline) so CC iterations never recompute it
-    val p = graft.core.Materialize.stageCut(
+    val (p, pRdd) = graft.core.Materialize.stageCutHandle(
       pairs.select(col("ida").cast("string").as("a"),
         col("idb").cast("string").as("b")))
     // iterate only over vertices that occur in a pair — the near-dup graph
     // is a vanishing fraction of the corpus, so the label-propagation
     // rounds never shuffle the full id set
     val touched = p.select(col("a").as("v")).union(p.select(col("b").as("v"))).distinct()
-    val comp = ConnectedComponents.run(
+    val (comp, compRdd) = ConnectedComponents.runHandle(
       touched.select(lit("g").as("key"), col("v")),
       p.select(lit("g").as("key"), col("a"), col("b")))
+    pRdd.unpersist(blocking = false)
     // component label = lexicographic min member (min-label fixpoint), so
     // keep == (id == group) — no window shuffle; singletons keep themselves
-    df.select(col(idCol).cast("string").as("id"))
+    val out = df.select(col(idCol).cast("string").as("id"))
       .join(comp.select(col("v").as("id"), col("component")), Seq("id"), "left")
       .withColumn("group", coalesce(col("component"), col("id")))
       .select(col("id"), col("group"), (col("id") === col("group")).as("keep"))
+    (out, () => compRdd.unpersist(blocking = false))
   }
 
   /** Embedding-cosine near-dup pairs via multi-table random-hyperplane LSH

@@ -99,7 +99,10 @@ object BuildPipeline {
         case None =>
           if (shared) {
             val (df, rdd) = Materialize.stageCutHandle(compute)
-            cuts += rdd
+            // stage() runs from concurrently forked branches — guard the
+            // plain ArrayBuffer (a lost append would leak the RDD past
+            // BuildResult.cleanup; a resize race could crash the build)
+            cuts.synchronized { cuts += rdd }
             df
           } else compute
       }

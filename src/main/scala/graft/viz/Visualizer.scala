@@ -50,7 +50,7 @@ object Visualizer {
       .groupBy("id").agg(count(lit(1)).as("degree"))
     val vn = lvl.join(degree, Seq("id"), "left")
       .withColumn("degree", coalesce(col("degree"), lit(0L)))
-      .orderBy(col("degree").desc, col("name").asc)
+      .orderBy(col("degree").desc, col("name").asc, col("id").asc)
       .limit(maxNodes)
     // vn is bounded by maxNodes, so both endpoint joins broadcast it — the
     // edge table streams once, nothing corpus-sized shuffles.
