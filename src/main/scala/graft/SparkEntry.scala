@@ -195,6 +195,17 @@ object SparkEntry {
       TextAnalysis.quality(s.read.parquet(t(d, "documents")), "doc_id", "text")),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(s.read.parquet(t(d, "documents")), "doc_id", "text")),
+    // deterministic salted-hash train/val/test assignment — stable under
+    // corpus growth, no shuffle; the oracle is the same md5-prefix compare
+    "q_hash_split" -> ((s, d) =>
+      TextAnalysis.hashSplit(s.read.parquet(t(d, "documents")), "doc_id")),
+    // eval-leakage scan: corpus docs containing any 3-gram of the
+    // "benchmark" set (stood in by docs 0-4); benchmark shingles broadcast
+    "q_contamination" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      TextAnalysis.contamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "text")
+    }),
 
     // ----- similarity search -------------------------------------------------
     "q_cosine_topk" -> ((s, d) => {
@@ -474,6 +485,31 @@ object SparkEntry {
         |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
         |       ELSE CAST(vec_id AS VARCHAR) END AS keep
         |FROM c""".stripMargin,
+    "q_hash_split" ->
+      """SELECT doc_id AS id,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 8) AS bucket_hash,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "q_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), toks2 AS (
+        |  SELECT doc_id, list_filter(toks, x -> x <> '') AS toks FROM w
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS s
+        |  FROM toks2
+        |), e0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |-- the engine emits NO shingle for an empty-token document; this CTE
+        |-- form emits one '' — drop it so both sides agree
+        |e AS (SELECT doc_id, g FROM e0 WHERE g <> ''),
+        |b AS (SELECT DISTINCT g FROM e WHERE doc_id < 5)
+        |SELECT e.doc_id AS id, count(*) AS n_hits
+        |FROM e JOIN b ON e.g = b.g
+        |GROUP BY 1""".stripMargin,
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk

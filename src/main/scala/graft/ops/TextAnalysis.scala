@@ -84,4 +84,56 @@ object TextAnalysis {
 
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), langUdf(col(textCol)).as("lang_pred"))
+
+  /** Deterministic train/val/test assignment by salted id hash — the
+    * reproducible corpus-split a training pipeline needs: assignment is a
+    * pure function of (id, salt), so it is stable under corpus growth
+    * (adding documents never reassigns existing ones), identical across
+    * runs/clusters, and needs no shuffle or global ordering — a narrow
+    * codegen projection even at 100 TB.
+    *
+    * The first 8 hex chars of md5(id:salt) are uniform on [0, 2^32);
+    * comparing them LEXICOGRAPHICALLY against the fraction thresholds
+    * rendered as zero-padded lowercase hex is equivalent to a numeric
+    * compare (same-length hex strings order numerically) and keeps the
+    * whole operator portable SQL — the DuckDB oracle is the same three
+    * expressions verbatim.
+    * Returns (id, bucket_hash, split). */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                salt: String = "split-v1"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"invalid split fractions: train=$trainFrac val=$valFrac")
+    def hexAt(f: Double): String =
+      f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
+    val t1 = hexAt(trainFrac)
+    val t2 = hexAt(trainFrac + valFrac)
+    val h = substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8)
+    df.select(col(idCol).as("id"), h.as("bucket_hash"),
+      when(h < lit(t1), lit("train"))
+        .when(h < lit(t2), lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+
+  /** Benchmark-contamination scan: for each corpus document, count how many
+    * of a benchmark set's distinct k-gram shingles it contains (token
+    * k-grams, same tokenization as the n-gram dedup family) — the
+    * eval-leakage check a training pipeline runs before shipping a corpus.
+    *
+    * 100 TB shape: the benchmark side is eval sets (tiny) — its distinct
+    * shingle set is broadcast, so the corpus scans ONCE with a map-side
+    * hash probe and the only shuffle is the per-doc hit-count aggregate
+    * over matching (doc, shingle) rows, a vanishing fraction of the
+    * corpus. Returns (id, n_hits) for contaminated documents only. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    k: Int = 3): DataFrame = {
+    val shUdf = udf((t: String, kk: Int) => TextFns.shingles(t, kk).distinct)
+    val docSh = docs.select(col(idCol).as("id"),
+      explode(shUdf(col(textCol), lit(k))).as("g"))
+    val benchSh = broadcast(
+      bench.select(explode(shUdf(col(benchTextCol), lit(k))).as("g")).distinct())
+    docSh.join(benchSh, Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+  }
 }

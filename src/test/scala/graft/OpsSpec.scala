@@ -174,6 +174,41 @@ class OpsSpec extends SparkSpec {
     assert(ids.forall { case (a, b) => a < b })
   }
 
+  test("hashSplit: deterministic, exhaustive, stable under corpus growth") {
+    val full = TextAnalysis.hashSplit(docs, "doc_id")
+    val rows = full.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("split"))).toMap
+    assert(rows.size === docs.count())
+    // fractions land near the 80/10/10 request (hash-uniform, small-n slack)
+    val n = rows.size.toDouble
+    val frac = rows.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.0 && frac.getOrElse("test", 0.0) > 0.0)
+    // growth stability: assignment over HALF the corpus is the restriction
+    // of the full assignment — adding documents reassigns nothing
+    val half = TextAnalysis.hashSplit(docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("split")))
+    assert(half.forall { case (id, s) => rows(id) == s })
+    // a different salt is a different (but still deterministic) assignment
+    val salted = TextAnalysis.hashSplit(docs, "doc_id", salt = "split-v2")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("split")))
+    assert(salted.exists { case (id, s) => rows(id) != s })
+  }
+
+  test("contamination: finds exactly the docs sharing a benchmark 3-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "the quick brown fox jumps"),          // contains bench 3-grams
+      (3L, "nothing in common here at all"),
+      (4L, "quick brown fox story continues")     // shares "quick brown fox"
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox runs")).toDF("bid", "text")
+    val got = TextAnalysis.contamination(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_hits"))).toMap
+    // bench shingles: {the quick brown, quick brown fox, brown fox runs}
+    // doc 2 contains "the quick brown" + "quick brown fox"; doc 4 one
+    assert(got === Map(2L -> 2L, 4L -> 1L))
+  }
+
   test("minhash signature: more similar texts share more signature positions") {
     val a = "the quick brown fox jumps over the lazy dog again and again in the field"
     val b = a.replace("field", "meadow")
