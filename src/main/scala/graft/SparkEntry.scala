@@ -206,6 +206,22 @@ object SparkEntry {
       TextAnalysis.contamination(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text")
     }),
+    // Gopher-style repetitiousness signals over word bigrams
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(s.read.parquet(t(d, "documents")), "doc_id", "text")),
+    // the synthetic corpus carries no PII, so plant deterministic email /
+    // ipv4 / phone literals on docs 0-9 (mirrored in the oracle SQL) —
+    // the operator must count exactly those
+    "q_pii_scan" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      val planted = docs.withColumn("text",
+        when(col("doc_id") < 10, concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 call 555-867-530"), (col("doc_id") % 10).cast("string")))
+          .otherwise(col("text")))
+      TextAnalysis.piiScan(planted, "doc_id", "text")
+    }),
 
     // ----- similarity search -------------------------------------------------
     "q_cosine_topk" -> ((s, d) => {
@@ -510,6 +526,44 @@ object SparkEntry {
         |SELECT e.doc_id AS id, count(*) AS n_hits
         |FROM e JOIN b ON e.g = b.g
         |GROUP BY 1""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents
+        |), tok AS (
+        |  SELECT id, unnest(words) AS word, generate_subscripts(words, 1) AS ord FROM w
+        |), bg AS (
+        |  SELECT id, word || ' ' || lead(word) OVER (PARTITION BY id ORDER BY ord) AS gram FROM tok
+        |), cnt AS (
+        |  SELECT id, gram, count(*) AS c FROM bg WHERE gram IS NOT NULL GROUP BY id, gram
+        |), top AS (
+        |  SELECT id, gram AS top_gram, c AS top_gram_count FROM cnt
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, gram DESC) = 1
+        |), agg AS (
+        |  SELECT id, sum(c) AS n_grams, count(*) AS n_distinct FROM cnt GROUP BY id
+        |)
+        |SELECT a.id, a.n_grams::BIGINT AS n_grams, t.top_gram,
+        |  t.top_gram_count::BIGINT AS top_gram_count,
+        |  round(t.top_gram_count / a.n_grams, 4) AS top_gram_frac,
+        |  round((a.n_grams - a.n_distinct) / a.n_grams, 4) AS dup_gram_frac
+        |FROM agg a JOIN top t USING (id)""".stripMargin,
+    "q_pii_scan" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id < 10 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.7 call 555-867-530' || CAST(doc_id % 10 AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT id,
+        |  length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  length(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phones,
+        |  length(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+        |  (length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + length(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |   + length(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')))::BIGINT AS n_pii
+        |FROM p""".stripMargin,
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk

@@ -115,6 +115,71 @@ object TextAnalysis {
         .otherwise(lit("test")).as("split"))
   }
 
+  /** Repetition signals per document (the Gopher/MassiveText-style
+    * repetitiousness filters a pre-training pipeline applies): over the
+    * document's word n-grams (lowercased, `\s+`-split non-empty words),
+    *   - n_grams: total n-gram occurrences,
+    *   - top_gram / top_gram_count / top_gram_frac: the most frequent
+    *     n-gram (ties broken by lexicographically GREATEST gram — the
+    *     struct-max order, mirrored by the oracle's ORDER BY c DESC,
+    *     gram DESC) and the fraction of occurrences it covers,
+    *   - dup_gram_frac: fraction of occurrences that are repeats
+    *     (1 - distinct/total).
+    * Documents with fewer than n words emit no row (they have no n-grams).
+    *
+    * 100 TB shape: the classic word-count idiom — explode n-grams, then
+    * two hash aggregations whose keys both carry the document id, so
+    * partial (map-side) aggregation applies and no key can be hotter than
+    * one document's gram set. The n-gram array itself is built by codegen
+    * higher-order functions (sequence/transform/slice), no UDF. */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    // sequence(1, size-n+1) guarded: sequence(1, 0) would DESCEND ([1, 0])
+    // rather than produce an empty range, so short docs get array() instead
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - lit(n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val cnt = df.select(col(idCol).as("id"), explode(grams).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
+    cnt.groupBy("id").agg(
+      sum("c").as("n_grams"),
+      count(lit(1)).as("n_distinct"),
+      max(struct(col("c"), col("gram"))).as("top"))
+      .select(
+        col("id"),
+        col("n_grams"),
+        col("top").getField("gram").as("top_gram"),
+        col("top").getField("c").as("top_gram_count"),
+        round(col("top").getField("c") / col("n_grams"), 4).as("top_gram_frac"),
+        round((col("n_grams") - col("n_distinct")) / col("n_grams"), 4)
+          .as("dup_gram_frac"))
+  }
+
+  /** PII-signal regexes shared verbatim with the DuckDB oracle — plain
+    * ASCII classes only, so Java regex and RE2 agree on every match. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII scan: per-document counts of email / phone / IPv4 literals — the
+    * redaction-or-drop signal a training pipeline computes before export.
+    * A narrow codegen projection (`regexp_count` built-in, no UDF, no
+    * shuffle); at 100 TB this is a single pushdown-friendly map over the
+    * text column. Returns (id, n_emails, n_phones, n_ipv4, n_pii). */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val email = regexp_count(t, lit(EmailRe))
+    val phone = regexp_count(t, lit(PhoneRe))
+    val ipv4 = regexp_count(t, lit(Ipv4Re))
+    df.select(col(idCol).as("id"),
+      email.cast("long").as("n_emails"),
+      phone.cast("long").as("n_phones"),
+      ipv4.cast("long").as("n_ipv4"),
+      (email + phone + ipv4).cast("long").as("n_pii"))
+  }
+
   /** Benchmark-contamination scan: for each corpus document, count how many
     * of a benchmark set's distinct k-gram shingles it contains (token
     * k-grams, same tokenization as the n-gram dedup family) — the

@@ -209,6 +209,51 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(2L -> 2L, 4L -> 1L))
   }
 
+  test("repetition: bigram counts, top gram, dup fraction match hand computation") {
+    val d = Seq(
+      (1L, "a b a b a"),        // bigrams: a b, b a, a b, b a — top "b a" (tie 2/2, lexicographically greatest), dup 2/4
+      (2L, "x y z"),            // bigrams: x y, y z — all distinct
+      (3L, "solo"),             // < 2 words: no row
+      (4L, "  w   w  w ")       // robust to multi-space: w w, w w
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 4L))
+    assert(got(1L).getAs[Long]("n_grams") === 4L)
+    assert(got(1L).getAs[String]("top_gram") === "b a")
+    assert(got(1L).getAs[Long]("top_gram_count") === 2L)
+    assert(got(1L).getAs[Double]("top_gram_frac") === 0.5)
+    assert(got(1L).getAs[Double]("dup_gram_frac") === 0.5)
+    assert(got(2L).getAs[Double]("dup_gram_frac") === 0.0)
+    assert(got(4L).getAs[Long]("n_grams") === 2L)
+    assert(got(4L).getAs[String]("top_gram") === "w w")
+    assert(got(4L).getAs[Double]("dup_gram_frac") === 0.5)
+    // brute-force cross-check on the real fixture corpus
+    val fixture = TextAnalysis.repetition(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("n_grams"), r.getAs[Long]("top_gram_count"))).toMap
+    val brute = docs.select("doc_id", "text").collect().map { r =>
+      val ws = r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val gs = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      r.getAs[Long]("doc_id") -> (gs.size.toLong,
+        if (gs.isEmpty) 0L else gs.groupBy(identity).values.map(_.size).max.toLong)
+    }.filter(_._2._1 > 0).toMap
+    assert(fixture === brute)
+  }
+
+  test("piiScan: counts planted email/phone/ipv4 literals, zero elsewhere") {
+    val d = Seq(
+      (1L, "reach me at jane.doe+x@sub.example.org or 10.1.2.3 tel 555-123-4567"),
+      (2L, "no pii in this document at all"),
+      (3L, "two ips 192.168.0.1 and 8.8.8.8 one mail a@b.co")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"), r.getAs[Long]("n_ipv4"), r.getAs[Long]("n_pii"))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, 3L)))
+    assert(got(2L) === ((0L, 0L, 0L, 0L)))
+    assert(got(3L) === ((1L, 0L, 2L, 3L)))
+  }
+
   test("minhash signature: more similar texts share more signature positions") {
     val a = "the quick brown fox jumps over the lazy dog again and again in the field"
     val b = a.replace("field", "meadow")
