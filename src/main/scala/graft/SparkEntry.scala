@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Corpus
 import graft.extract.DeterministicExtractor
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Packing, Similarity, TextAnalysis}
 import graft.pipeline.BuildPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -222,6 +222,26 @@ object SparkEntry {
           .otherwise(col("text")))
       TextAnalysis.piiScan(planted, "doc_id", "text")
     }),
+    // C4/CCNet line-level boilerplate removal: the synthetic corpus has no
+    // line structure, so plant a shared header and a per-source footer
+    // (mirrored in the oracle) that the operator must strip while keeping
+    // each document's unique body line
+    "q_line_dedup" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      val planted = docs.withColumn("text", concat(
+        lit("corpus header v1\n"), col("text"), lit("\nfooter "), col("source")))
+      TextAnalysis.lineDedup(planted, "doc_id", "text", maxDf = 10L)
+    }),
+    // distributed exclusive-prefix-sum packing into 2048-token bins
+    "q_pack" -> ((s, d) =>
+      Packing.pack(
+        TextAnalysis.tokenCount(s.read.parquet(t(d, "documents")), "doc_id", "text"),
+        "id", "n_tokens", budget = 2048L)),
+    // deterministic stratified downsampling by source
+    "q_strat_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(s.read.parquet(t(d, "documents")),
+        "doc_id", "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))),
 
     // ----- similarity search -------------------------------------------------
     "q_cosine_topk" -> ((s, d) => {
@@ -564,6 +584,53 @@ object SparkEntry {
         |   + length(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
         |   + length(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')))::BIGINT AS n_pii
         |FROM p""".stripMargin,
+    "q_line_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id,
+        |    'corpus header v1' || chr(10) || text || chr(10) || 'footer ' || source AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT id, unnest(string_split(text, chr(10))) AS line,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM p
+        |), n AS (
+        |  SELECT id, pos, line,
+        |         regexp_replace(trim(lower(line)), '\s+', ' ', 'g') AS norm
+        |  FROM l
+        |), d AS (
+        |  SELECT norm, count(DISTINCT id) AS ndocs FROM n GROUP BY 1
+        |)
+        |SELECT n.id, count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN d.ndocs <= 10 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN d.ndocs <= 10 THEN n.line END,
+        |                      chr(10) ORDER BY n.pos), '') AS clean_text
+        |FROM n JOIN d USING (norm)
+        |GROUP BY n.id""".stripMargin,
+    "q_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN text IS NULL THEN 0 ELSE
+        |      greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')),
+        |               CAST(ceil(length(text) / 4.0) AS INT)) END AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT id, n_tokens::BIGINT AS n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset,
+        |  (COALESCE(sum(n_tokens) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048)::BIGINT AS bin
+        |FROM tok""".stripMargin,
+    "q_strat_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id AS id, source AS stratum,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || ':sample-v1'), 1, 8) AS bucket_hash
+        |  FROM documents
+        |)
+        |SELECT id, stratum, bucket_hash FROM h
+        |WHERE bucket_hash < CASE stratum
+        |  WHEN 'src1' THEN '80000000'
+        |  WHEN 'src2' THEN '40000000'
+        |  ELSE 'ffffffff' END""".stripMargin,
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk

@@ -180,6 +180,68 @@ object TextAnalysis {
       (email + phone + ipv4).cast("long").as("n_pii"))
   }
 
+  /** Line-level boilerplate removal (the C4 / CCNet corpus-cleaning step):
+    * drop every line whose whitespace-normalized lowercase form occurs in
+    * more than `maxDf` distinct documents (headers, footers, nav chrome,
+    * cookie banners), preserving the order of surviving lines. Returns
+    * (id, n_lines, n_kept, clean_text); a document whose every line is
+    * boilerplate keeps an empty clean_text.
+    *
+    * 100 TB shape: the document-frequency aggregation shuffles a 16-byte
+    * md5 of the normalized line, never the line text, and both the
+    * (id, hash) distinct and the (hash) count are partial-aggregation
+    * friendly. The hot-line set it produces is by definition tiny (lines
+    * repeated across >maxDf documents), so AQE broadcasts it back against
+    * the line table; the only full-text shuffle is the per-document
+    * reassembly, whose key (id) is bounded by one document's lines. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDf: Long = 10L): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", md5(regexp_replace(trim(lower(col("line"))), "\\s+", " ")))
+    val hot = lines.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > maxDf)
+      .select(col("h"), lit(true).as("hot"))
+    lines.join(hot, Seq("h"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("hot").isNull, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the null branch of the `when`, so only kept
+        // lines enter; array_sort on (pos, line) structs restores order
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("hot").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
+  /** Deterministic stratified sampling: keep a document iff the first 8
+    * hex chars of md5(id:salt) fall below its stratum's rate threshold —
+    * the reproducible quality- or source-weighted downsampling step of a
+    * training-data mix. Same hash-vs-hex-threshold construction as
+    * [[hashSplit]] (uniform on [0, 2^32), lexicographic compare ==
+    * numeric compare), so membership is a pure function of (id, salt):
+    * stable under corpus growth, identical across runs, and a narrow
+    * codegen projection + filter with no shuffle at any scale. Strata
+    * absent from `rates` fall back to `defaultRate`.
+    * Returns the sampled rows as (id, stratum, bucket_hash). */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 1.0,
+                       salt: String = "sample-v1"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
+      s"sample rates must be in [0, 1]: $rates default=$defaultRate")
+    def hexAt(f: Double): String =
+      f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
+    val h = substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8)
+    val threshold = rates.foldLeft(lit(hexAt(defaultRate))) { case (acc, (stratum, rate)) =>
+      when(col(strataCol) === stratum, lit(hexAt(rate))).otherwise(acc)
+    }
+    df.select(col(idCol).as("id"), col(strataCol).as("stratum"),
+        h.as("bucket_hash"))
+      .filter(col("bucket_hash") < threshold)
+  }
+
   /** Benchmark-contamination scan: for each corpus document, count how many
     * of a benchmark set's distinct k-gram shingles it contains (token
     * k-grams, same tokenization as the n-gram dedup family) — the

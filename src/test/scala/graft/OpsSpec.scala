@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFns
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data ops: dedup family recall/precision vs exact computation,
@@ -252,6 +252,73 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) === ((1L, 1L, 1L, 3L)))
     assert(got(2L) === ((0L, 0L, 0L, 0L)))
     assert(got(3L) === ((1L, 0L, 2L, 3L)))
+  }
+
+  test("lineDedup: strips corpus-hot lines, keeps unique body in order") {
+    // header appears in all 4 docs (df 4 > maxDf 2) → dropped; the shared
+    // footer in 3 docs (df 3 > 2) → dropped; bodies unique → kept; doc 4's
+    // second body line survives in position order
+    val d = Seq(
+      (1L, "Shared Header\nbody one\ncommon footer"),
+      (2L, "shared  header\nbody two\ncommon footer"), // normalization: case+spaces
+      (3L, "SHARED HEADER\nbody three\ncommon footer"),
+      (4L, "shared header\nbody four a\nbody four b")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(d, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toMap
+    assert(got(1L) === ((3L, 1L, "body one")))
+    assert(got(2L) === ((3L, 1L, "body two")))
+    assert(got(3L) === ((3L, 1L, "body three")))
+    assert(got(4L) === ((3L, 2L, "body four a\nbody four b")))
+    // all-boilerplate document keeps an empty clean_text, not a null
+    val all = Seq((1L, "x\ny"), (2L, "x\ny"), (3L, "x\ny")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.lineDedup(all, "doc_id", "text", maxDf = 2)
+      .collect().map(r => (r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))
+    assert(g2.forall(_ === ((0L, ""))))
+  }
+
+  test("pack: matches global-window prefix sum, deterministic across partitioning") {
+    val tok = TextAnalysis.tokenCount(docs, "doc_id", "text")
+    val budget = 512L
+    val got = Packing.pack(tok, "id", "n_tokens", budget, numPartitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    // naive single-window reference (the plan shape pack exists to avoid)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("id").rowsBetween(Long.MinValue, -1)
+    val ref = tok.select(col("id"), col("n_tokens"),
+        coalesce(sum("n_tokens").over(w), lit(0L)).as("tok_offset"))
+      .withColumn("bin", floor(col("tok_offset") / budget).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got === ref)
+    // identical output whatever the partition count (incl. a single one)
+    for (np <- Seq(1, 3, 32)) {
+      val alt = Packing.pack(tok, "id", "n_tokens", budget, numPartitions = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      assert(alt === got, s"pack output changed at numPartitions=$np")
+    }
+    // bins fill to the budget: every bin except the last starts within it
+    val binStarts = got.groupBy(_._4).map { case (b, rs) => b -> rs.map(_._3).min }
+    binStarts.foreach { case (b, off) => assert(off / budget === b) }
+  }
+
+  test("stratifiedSample: deterministic, per-stratum rates honored, stable under growth") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val s1 = TextAnalysis.stratifiedSample(docs, "doc_id", "source", rates)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum"))).toSet
+    // rate 0.0 strata vanish; rate 1.0 keeps everything in the stratum
+    assert(!s1.exists(_._2 == "src2"))
+    val src0Total = docs.filter(col("source") === "src0").count()
+    assert(s1.count(_._2 == "src0") === src0Total)
+    // deterministic: same input, same sample
+    val s2 = TextAnalysis.stratifiedSample(docs, "doc_id", "source", rates)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum"))).toSet
+    assert(s1 === s2)
+    // growth-stable: sampling a subset never changes membership of its rows
+    val sub = TextAnalysis.stratifiedSample(docs.filter(col("doc_id") < 25),
+        "doc_id", "source", rates)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum"))).toSet
+    assert(sub === s1.filter(_._1 < 25))
   }
 
   test("minhash signature: more similar texts share more signature positions") {
