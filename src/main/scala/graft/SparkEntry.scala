@@ -242,6 +242,15 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(s.read.parquet(t(d, "documents")),
         "doc_id", "source",
         rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))),
+    // stateful Structured Streaming exact dedup, run as one AvailableNow
+    // pass (one input file -> one micro-batch -> survivor = min id per
+    // fingerprint, which is what the oracle expresses)
+    "q_stream_dedup" -> ((s, d) =>
+      graft.streaming.StreamingOps.dedupStreamOnce(s, t(d, "documents"),
+        "doc_id", "text")),
+    // event-time windowed arrival stats (complete mode for determinism)
+    "q_stream_window" -> ((s, d) =>
+      graft.streaming.StreamingOps.windowStatsOnce(s, t(d, "documents"))),
 
     // ----- similarity search -------------------------------------------------
     "q_cosine_topk" -> ((s, d) => {
@@ -631,6 +640,22 @@ object SparkEntry {
         |  WHEN 'src1' THEN '80000000'
         |  WHEN 'src2' THEN '40000000'
         |  ELSE 'ffffffff' END""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_stream_window" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    (doc_id * 60 // 3600) * 3600 AS win_start,
+        |    CASE WHEN text IS NULL THEN 0 ELSE
+        |      greatest(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')),
+        |               CAST(ceil(length(text) / 4.0) AS INT)) END AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT win_start::BIGINT AS win_start, source,
+        |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+        |FROM tok GROUP BY 1, 2""".stripMargin,
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk
