@@ -251,6 +251,14 @@ object SparkEntry {
     // event-time windowed arrival stats (complete mode for determinism)
     "q_stream_window" -> ((s, d) =>
       graft.streaming.StreamingOps.windowStatsOnce(s, t(d, "documents"))),
+    // JSONL source/sink: export the corpus as 8 JSONL shards, read it back
+    // through the quarantining source — the round-trip must be lossless
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      val dir = s"/tmp/graft-jsonl-rt-${math.abs(d.hashCode)}"
+      graft.io.DocSources.writeJsonl(docs, dir, shards = 8)
+      graft.io.DocSources.jsonl(s, dir)._1
+    }),
 
     // ----- similarity search -------------------------------------------------
     "q_cosine_topk" -> ((s, d) => {
@@ -656,6 +664,8 @@ object SparkEntry {
         |SELECT win_start::BIGINT AS win_start, source,
         |  count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
         |FROM tok GROUP BY 1, 2""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk

@@ -1,0 +1,81 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document-corpus sources and sinks beyond parquet: JSONL and CSV, the
+  * formats a web-scale training corpus actually arrives in.
+  *
+  * Design rules for 100 TB ingest:
+  *   - ALWAYS pass an explicit schema — schema inference is a second full
+  *     pass over the input before the first real one;
+  *   - never drop malformed input silently: PERMISSIVE mode with a corrupt-
+  *     record column splits the read into (good, quarantine) so a bad
+  *     shard is visible and replayable, and a `badRecordsPath`-style audit
+  *     needs no second read;
+  *   - export re-shards explicitly — downstream trainers want a bounded
+  *     file count, not one file per upstream shuffle partition.
+  */
+object DocSources {
+
+  /** The documents-table schema (TESTDATA.md / input_hint shape). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private val Corrupt = "_corrupt_record"
+  private def withCorrupt(s: StructType) = s.add(StructField(Corrupt, StringType))
+  private val parseOpts =
+    Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+
+  /** JSONL corpus read → (good, quarantine). Good rows carry exactly
+    * [[docSchema]]; quarantine rows carry the raw offending line.
+    *
+    * Lines are read as text and parsed with `from_json` rather than the
+    * json reader: the reader's internal corrupt-record column cannot be
+    * referenced on its own (QueryCompilationErrors forbids it, and the
+    * documented workaround is caching the whole read — wrong at 100 TB),
+    * while a `from_json` struct field is an ordinary column. One scan,
+    * two filters, no cache. */
+  def jsonl(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    split(spark.read.text(path).filter(length(trim(col("value"))) > 0)
+      .select(col("value"),
+        from_json(col("value"), withCorrupt(docSchema), parseOpts).as("d")))
+
+  /** CSV corpus read with a header line, same quarantine contract as
+    * [[jsonl]]. Line-oriented (`from_csv` over text lines), so quoted
+    * embedded newlines are not supported — corpus exports don't use them. */
+  def csv(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val header = docSchema.fieldNames.mkString(",")
+    split(spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0 && col("value") =!= header)
+      .select(col("value"),
+        from_csv(col("value"), withCorrupt(docSchema), parseOpts).as("d")))
+  }
+
+  private def split(parsed: DataFrame): (DataFrame, DataFrame) = {
+    // a totally unparseable line may come back as a NULL struct rather
+    // than a populated corrupt column, depending on the parser — treat both
+    // as quarantine
+    val isBad = col("d").isNull || col("d").getField(Corrupt).isNotNull
+    val good = parsed.filter(!isBad)
+      .select(docSchema.fieldNames.map(f => col("d").getField(f).as(f)): _*)
+    val quarantine = parsed.filter(isBad)
+      .select(col("value").as("raw_record"),
+        col("d").getField("doc_id").as("doc_id"))
+    (good, quarantine)
+  }
+
+  /** Sharded JSONL export of a curated corpus: exactly `shards` output
+    * files regardless of the upstream partitioning. Round-robin
+    * repartition, not coalesce — coalesce would chain the export onto the
+    * upstream partition count and can starve parallelism upstream of it. */
+  def writeJsonl(df: DataFrame, path: String, shards: Int): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    df.repartition(shards).write.mode("overwrite").json(path)
+  }
+}
