@@ -39,7 +39,10 @@ object Packing {
   /** Pack `df` into token-budget bins; returns
     * (id, n_tokens, tok_offset, bin) plus a thunk that frees the
     * intermediate cache once the caller has consumed the result.
-    * `id` must be unique (it is the global packing order). */
+    * `id` must be unique (it is the global packing order) and
+    * numeric-castable — a failed cast surfaces loudly (ANSI cast error,
+    * or the non-nullable tuple encoder rejecting the null), never as a
+    * silently misplaced row. */
   def packHandle(df: DataFrame, idCol: String, tokensCol: String, budget: Long,
                  numPartitions: Int = 0): (DataFrame, () => Unit) = {
     require(budget > 0, s"pack budget must be positive, got $budget")
