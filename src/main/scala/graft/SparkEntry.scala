@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Corpus
 import graft.extract.DeterministicExtractor
-import graft.ops.{Dedup, Packing, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Packing, Similarity, TextAnalysis}
 import graft.pipeline.BuildPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -251,6 +251,15 @@ object SparkEntry {
     // event-time windowed arrival stats (complete mode for determinism)
     "q_stream_window" -> ((s, d) =>
       graft.streaming.StreamingOps.windowStatsOnce(s, t(d, "documents"))),
+    // gap-based sessions over the event stream (native session_window)
+    "q_sessionize" -> ((s, d) =>
+      Events.sessionize(s.read.parquet(t(d, "events")), "user_id", "ts")),
+    // as-of join: each click matched to the latest view at-or-before it
+    "q_asof_join" -> ((s, d) => {
+      val ev = s.read.parquet(t(d, "events"))
+      Events.asofJoin(ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"), "user_id", "ts", "event_id")
+    }),
     // JSONL source/sink: export the corpus as 8 JSONL shards, read it back
     // through the quarantining source — the round-trip must be lossless
     "q_jsonl_roundtrip" -> ((s, d) => {
@@ -666,6 +675,36 @@ object SparkEntry {
         |FROM tok GROUP BY 1, 2""".stripMargin,
     "q_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // session_window merges events with diff <= gap (gap-inclusive), so a
+    // new session opens only at diff STRICTLY > gap
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value, event_id FROM events
+        |), f AS (
+        |  SELECT user_id, ts_us, value, event_id,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), s AS (
+        |  SELECT user_id, ts_us, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS snum
+        |  FROM f
+        |)
+        |SELECT user_id, min(ts_us)::BIGINT AS session_start_us,
+        |  max(ts_us)::BIGINT AS session_end_us, count(*)::BIGINT AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, snum""".stripMargin,
+    "q_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS ts_us, max(event_id) AS rid
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_id AS id, user_id AS key, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT c.id, c.key, c.ts_us, v.rid AS right_id,
+        |  v.ts_us AS right_ts_us, c.ts_us - v.ts_us AS lag_us
+        |FROM c ASOF LEFT JOIN v ON c.key = v.key AND v.ts_us <= c.ts_us""".stripMargin,
     "q_lang_id" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS tk
