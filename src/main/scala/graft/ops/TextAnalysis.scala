@@ -127,21 +127,26 @@ object TextAnalysis {
     *     (1 - distinct/total).
     * Documents with fewer than n words emit no row (they have no n-grams).
     *
-    * 100 TB shape: the classic word-count idiom — explode n-grams, then
-    * two hash aggregations whose keys both carry the document id, so
-    * partial (map-side) aggregation applies and no key can be hotter than
-    * one document's gram set. The n-gram array itself is built by codegen
-    * higher-order functions (sequence/transform/slice), no UDF. */
+    * 100 TB shape: both aggregation keys carry the document id, so ONE
+    * repartition by id — moving compact document text, not the ~10×
+    * larger exploded gram stream — satisfies the clustering of BOTH
+    * aggregations (HashPartitioning(id) clusters (id, gram) too): the
+    * grams explode, count, and roll up entirely partition-locally, and no
+    * key can be hotter than one document's gram set. The n-gram array
+    * itself is built by codegen higher-order functions
+    * (sequence/transform/slice), no UDF. */
   def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    val words = filter(split(lower(col("_t")), "\\s+"), w => w =!= "")
     // sequence(1, size-n+1) guarded: sequence(1, 0) would DESCEND ([1, 0])
     // rather than produce an empty range, so short docs get array() instead
     val grams = when(size(words) >= n,
       transform(sequence(lit(1), size(words) - lit(n - 1)),
         i => concat_ws(" ", slice(words, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    val cnt = df.select(col(idCol).as("id"), explode(grams).as("gram"))
+    val cnt = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .repartition(col("id"))
+      .select(col("id"), explode(grams).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("c"))
     cnt.groupBy("id").agg(
       sum("c").as("n_grams"),
