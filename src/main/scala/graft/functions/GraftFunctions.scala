@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions._
+
+/** The engine's SQL-callable function surface: every custom scalar the
+  * Column API exposes is also registered by name, so a plain-SQL user
+  * (spark-sql, JDBC, a notebook) has the same vocabulary as Scala code.
+  * Native-Expression functions map straight to their case classes;
+  * composed-builtin functions are registered as expression-tree builders
+  * (still whole-stage-codegen — registration adds no UDF layer).
+  */
+object GraftFunctions {
+
+  private def composed(name: String, arity: Int)(f: Seq[Column] => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    val builder = (children: Seq[Expression]) => {
+      require(children.length == arity,
+        s"$name expects $arity argument(s), got ${children.length}")
+      GraftShims.toCatalyst(f(children.map(GraftShims.column)))
+    }
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftFunctions.getClass.getName, name), builder)
+  }
+
+  /** (identifier, info, builder) triples for every graft SQL function. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(TokenSetRatio.functionName),
+      TokenSetRatio.info, TokenSetRatio.builder),
+    (FunctionIdentifier("embed_text"),
+      new ExpressionInfo(classOf[EmbedText].getName, "embed_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"embed_text expects 1 argument, got ${children.length}")
+        EmbedText(children.head)
+      }),
+    composed("estimate_tokens", 1)(cs => TextFns.estimateTokensCol(cs.head)),
+    composed("non_alpha_ratio", 1)(cs => TextFns.nonAlphaRatioCol(cs.head)),
+    // whitespace-normalized lowercase md5 — the exact-dedup identity
+    // (keep in sync with ops.TextAnalysis.fingerprintCol)
+    composed("doc_fingerprint", 1)(cs =>
+      md5(regexp_replace(trim(lower(cs.head)), "\\s+", " "))))
+
+  /** Register every function on a live session (tests / notebooks). */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, info, b) =>
+    spark.sessionState.functionRegistry.registerFunction(id, info, b)
+  }
+}

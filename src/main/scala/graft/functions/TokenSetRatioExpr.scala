@@ -65,9 +65,10 @@ object TokenSetRatio {
 
 /** SparkSessionExtensions hook:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
-  * `token_set_ratio` available to plain SQL on every session. */
+  * every graft function ([[GraftFunctions.all]] — token_set_ratio,
+  * embed_text, estimate_tokens, non_alpha_ratio, doc_fingerprint)
+  * available to plain SQL on every session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier(TokenSetRatio.functionName),
-      TokenSetRatio.info, TokenSetRatio.builder))
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

@@ -11,6 +11,15 @@ object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion. [[expression]] wraps the Column
+    * node lazily (ColumnNodeExpression), which only unwraps when the tree
+    * passes through a classic Dataset operation — a tree returned from a
+    * FunctionRegistry builder never does, and dies at codegen. This runs
+    * the real converter immediately, yielding an (unresolved) catalyst
+    * tree the analyzer handles like any parsed SQL. */
+  def toCatalyst(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Wrap an already-persisted RDD[InternalRow] as a fresh DataFrame whose
     * logical plan is a bare LogicalRDD — i.e. cut the SQL plan tree at a
     * materialization point WITHOUT cutting the RDD lineage (what
