@@ -59,25 +59,27 @@ object Events {
     * when no right event precedes. */
   def asofJoin(left: DataFrame, right: DataFrame,
                keyCol: String, tsCol: String, idCol: String): DataFrame = {
-    // one right row per (key, ts): max id wins — removes the only source
-    // of nondeterminism before the carry-forward
-    val r = right
-      .groupBy(col(keyCol).as("key"), micros(col(tsCol)).as("ts_us"))
-      .agg(max(col(idCol)).as("rid"))
-      .select(col("key"), col("ts_us"), lit(1).as("side"),
-        lit(null).cast("long").as("lid"), col("rid"))
+    val r = right.select(col(keyCol).as("key"), micros(col(tsCol)).as("ts_us"),
+      lit(1).as("side"), lit(null).cast("long").as("lid"),
+      col(idCol).cast("long").as("rid"))
     val l = left.select(col(keyCol).as("key"), micros(col(tsCol)).as("ts_us"),
       lit(2).as("side"), col(idCol).cast("long").as("lid"),
       lit(null).cast("long").as("rid"))
-    // right rows sort before left rows at equal ts (side 1 < 2), so an
-    // exactly-simultaneous right event IS visible to the left row (<=)
+    // ordering encodes ALL the semantics, so one window pass suffices:
+    // right rows sort before left rows at equal ts (side 1 < 2 — an
+    // exactly-simultaneous right event IS visible, '<='), and equal-ts
+    // right rows sort by rid ascending so the carry-forward's `last`
+    // resolves the tie to the largest right id with no pre-dedup shuffle
     val w = Window.partitionBy("key")
-      .orderBy(col("ts_us"), col("side"), col("lid"))
+      .orderBy(col("ts_us"), col("side"), col("rid"), col("lid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // both carry-forwards in ONE select → they share one Window operator
+    // (separate withColumns defeat CollapseWindow with a Project between)
     r.unionByName(l)
-      .withColumn("last_rid", last(col("rid"), ignoreNulls = true).over(w))
-      .withColumn("last_rts",
-        last(when(col("rid").isNotNull, col("ts_us")), ignoreNulls = true).over(w))
+      .select(col("side"), col("lid"), col("key"), col("ts_us"),
+        last(col("rid"), ignoreNulls = true).over(w).as("last_rid"),
+        last(when(col("rid").isNotNull, col("ts_us")), ignoreNulls = true)
+          .over(w).as("last_rts"))
       .filter(col("side") === 2)
       .select(col("lid").as("id"), col("key"), col("ts_us"),
         col("last_rid").as("right_id"), col("last_rts").as("right_ts_us"),
