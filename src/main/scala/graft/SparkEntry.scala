@@ -189,6 +189,28 @@ object SparkEntry {
       Dedup.dedupClusters(corpus, "vec_id", pairs)
         .withColumnRenamed("group", "group_id")
     }),
+    // SemDeDup (cluster-scoped semantic dedup): oracle-reproducible seed
+    // centroids — the embeddings of vec_id 0..7, so centroid index ==
+    // vec_id and DuckDB can replay the assignment argmax exactly (same
+    // double arithmetic as the q_embed_neardup cosine oracle). Production
+    // uses trainCentroids (bounded-sample k-means) via Dedup.semanticDedup;
+    // SemDedupSpec proves the trained path finds the same planted dups.
+    "q_semantic_dedup" -> ((s, d) => {
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val corpus = emb.unionByName(planted)
+      val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect().map(_.getAs[Seq[Float]](0).toArray)
+      val pairs = Dedup.semanticClusterPairs(corpus, "vec_id", "embedding", seeds, 0.95)
+      val surv = Dedup.dedupClusters(corpus, "vec_id", pairs)
+        .withColumnRenamed("group", "group_id")
+      Similarity.assignClusters(corpus, "embedding", seeds)
+        .select(col("vec_id").cast("string").as("id"),
+          col("cluster").cast("long").as("cluster"))
+        .join(surv, Seq("id"))
+        .select("id", "cluster", "group_id", "keep")
+    }),
 
     // ----- text analysis ----------------------------------------------------
     "q_quality" -> ((s, d) =>
@@ -547,6 +569,36 @@ object SparkEntry {
         |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
         |       ELSE CAST(vec_id AS VARCHAR) END AS keep
         |FROM c""".stripMargin,
+    // assignment replayed exactly: seed centroids are the vec_id<8
+    // embeddings, so argmax-cosine (ties toward the lower seed id) is the
+    // same double arithmetic both engines run; groups use the planted-dup
+    // closed form (the only cos>=0.95 pairs are the planted identical
+    // copies, and an identical copy always co-clusters with its original)
+    "q_semantic_dedup" ->
+      """WITH c AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 20
+        |), seeds AS (
+        |  SELECT vec_id AS sid, embedding::DOUBLE[] AS sv FROM embeddings WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT c.vec_id, s.sid,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(c.v, s.sv) DESC, s.sid ASC) AS rn
+        |  FROM c CROSS JOIN seeds s
+        |)
+        |SELECT CAST(vec_id AS VARCHAR) AS id, sid AS cluster,
+        |  CASE WHEN vec_id < 20
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
+        |       WHEN vec_id >= 1000000
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
+        |       ELSE CAST(vec_id AS VARCHAR) END AS group_id,
+        |  CAST(vec_id AS VARCHAR) = CASE WHEN vec_id < 20
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
+        |       WHEN vec_id >= 1000000
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
+        |       ELSE CAST(vec_id AS VARCHAR) END AS keep
+        |FROM scored WHERE rn = 1""".stripMargin,
     "q_hash_split" ->
       """SELECT doc_id AS id,
         |  substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'), 1, 8) AS bucket_hash,

@@ -248,4 +248,48 @@ object Dedup {
       .filter(col("c") >= threshold)
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cosine"))
   }
+
+  /** Cluster-scoped embedding near-dup pairs — the candidate stage of
+    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): every vector is assigned to its nearest centroid
+    * (argmax cosine, ties toward the lower centroid index), and exact
+    * cosine runs ONLY inside each cluster's self-join. Cost is
+    * sum(|cluster|^2) instead of n^2: at 100 TB the centroid count is
+    * sized so clusters hold ~1e3–1e4 vectors (the paper runs 50k clusters
+    * over 1e9 embeddings) and the only corpus-wide work is one broadcast-
+    * centroid assignment pass plus one shuffle BY CLUSTER of slim
+    * (cluster, id, vec) rows; a pathologically hot cluster is handled the
+    * same way hot LSH buckets are (split by a secondary code), not by a
+    * global all-pairs fallback.
+    * Output: (ida, idb, cluster, cosine) with ida < idb. */
+  def semanticClusterPairs(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: Array[Array[Float]],
+                           threshold: Double = 0.95): DataFrame = {
+    val assigned = Similarity.assignClusters(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+    val l = assigned.select(col("cluster"), col("id").as("ida"), col("v").as("va"))
+    val r = assigned.select(col("cluster").as("cluster2"), col("id").as("idb"), col("v").as("vb"))
+    // threshold on the UNROUNDED cosine; rounding only the reported column
+    l.join(r, col("cluster") === col("cluster2") && col("ida") < col("idb"))
+      .withColumn("c", Similarity.cosUdf(col("va"), col("vb")))
+      .filter(col("c") >= threshold)
+      .select(col("ida"), col("idb"), col("cluster"), round(col("c"), 4).as("cosine"))
+  }
+
+  /** Full SemDeDup: [[Similarity.trainCentroids]] (bounded-sample k-means)
+    * -> [[semanticClusterPairs]] -> [[dedupClusters]] survivor selection.
+    * Output: (id, group, keep) — one `keep` per connected near-dup set,
+    * exactly the contract of the other dedup survivors. Callers that need
+    * oracle-reproducible clustering pass explicit `centroids` (e.g. the
+    * first-k-ids seed set the q_semantic_dedup entry uses); production
+    * passes None and trains. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Option[Array[Array[Float]]] = None,
+                    threshold: Double = 0.95, nClusters: Int = 16,
+                    seed: Long = 7L): DataFrame = {
+    val cents = centroids.getOrElse(
+      Similarity.trainCentroids(df.select(col(idCol), col(vecCol)),
+        idCol, vecCol, nLists = nClusters, seed = seed))
+    dedupClusters(df, idCol, semanticClusterPairs(df, idCol, vecCol, cents, threshold))
+  }
 }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+  private[ops] val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
     TextFns.cosine(a.toArray, b.toArray))
 
   /** Exact top-k neighbors for each query (excluding self-matches by id).
@@ -76,18 +76,18 @@ object Similarity {
     udf((codes: Seq[Int]) =>
       codes.zipWithIndex.map { case (c, t) => t.toLong * 65536L + c }.toArray)
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer trained ON A BOUNDED
-    * DETERMINISTIC SAMPLE (hash-threshold filter, one narrow pass over the
-    * corpus, ~`maxTrainSample` rows collected; Lloyd runs driver-local over
-    * that sample — nLists centroids never need the full corpus). The only
-    * full-corpus work is the single final assignment pass against the
-    * broadcast centroids; each query probes its `nProbe` nearest lists and
-    * scores exact cosine only inside them. At 100 TB: one sample scan + one
-    * assignment scan; the probe join touches nProbe/nLists of the data. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 8, iterations: Int = 5,
-              seed: Long = 7L, maxTrainSample: Int = 4096): DataFrame = {
-    val c = corpus.select(col("id"), col("vec").as("cv"))
+  /** k-means coarse-quantizer training ON A BOUNDED DETERMINISTIC SAMPLE
+    * (hash-threshold filter, one narrow pass over the corpus,
+    * ~`maxTrainSample` rows collected; Lloyd runs driver-local over that
+    * sample — nLists centroids never need the full corpus). The collect is
+    * bounded by construction, so this is safe at any corpus size: the only
+    * full-corpus work a caller ever pays is its own single assignment pass
+    * against the broadcast centroids. Shared by [[ivfTopK]] and
+    * [[Dedup.semanticDedup]]. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nLists: Int = 16, iterations: Int = 5,
+                     seed: Long = 7L, maxTrainSample: Int = 4096): Array[Array[Float]] = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
 
     // bounded deterministic sample: keep rows whose uniform 63-bit hash
     // (unsigned shift — abs() would map Long.MinValue to itself) falls
@@ -160,16 +160,39 @@ object Similarity {
       }.toArray
       it += 1
     }
+    centroids
+  }
 
-    def nearestUdf(cents: Array[Array[Float]], nn: Int) =
-      udf((v: Seq[Float]) => {
-        val a = v.toArray
-        cents.zipWithIndex
-          .map { case (ct, i) => (1.0 - TextFns.cosine(ct, a), i) }
-          .sortBy(identity).take(nn).map(_._2)
-      })
+  /** nn nearest centroid INDICES by cosine, ties broken toward the lower
+    * index (the sort key is (distance, index)). */
+  private[ops] def nearestUdf(cents: Array[Array[Float]], nn: Int) =
+    udf((v: Seq[Float]) => {
+      val a = v.toArray
+      cents.zipWithIndex
+        .map { case (ct, i) => (1.0 - TextFns.cosine(ct, a), i) }
+        .sortBy(identity).take(nn).map(_._2)
+    })
 
-    val cents = centroids
+  /** One broadcast-centroid assignment pass: all input columns plus
+    * `cluster`, the nearest centroid's INDEX (argmax cosine, ties toward
+    * the lower index). The single full-corpus stage every centroid-based
+    * consumer (IVF lists, SemDeDup) pays. */
+  def assignClusters(df: DataFrame, vecCol: String,
+                     centroids: Array[Array[Float]]): DataFrame =
+    df.withColumn("cluster", nearestUdf(centroids, 1)(col(vecCol))(0))
+
+  /** IVF (inverted-file) ANN: bounded-sample-trained coarse quantizer
+    * ([[trainCentroids]]); the only full-corpus work is the single final
+    * assignment pass against the broadcast centroids; each query probes its
+    * `nProbe` nearest lists and scores exact cosine only inside them. At
+    * 100 TB: one sample scan + one assignment scan; the probe join touches
+    * nProbe/nLists of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 8, iterations: Int = 5,
+              seed: Long = 7L, maxTrainSample: Int = 4096): DataFrame = {
+    val c = corpus.select(col("id"), col("vec").as("cv"))
+    val cents = trainCentroids(corpus.select(col("id"), col("vec")), "id", "vec",
+      nLists, iterations, seed, maxTrainSample)
     val bucketed = c.withColumn("cluster", nearestUdf(cents, 1)(col("cv"))(0))
     val probed = queries.select(col("id").as("qid"), col("vec").as("qv"))
       .withColumn("cluster", explode(nearestUdf(cents, nProbe)(col("qv"))))

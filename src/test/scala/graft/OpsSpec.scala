@@ -174,6 +174,51 @@ class OpsSpec extends SparkSpec {
     assert(ids.forall { case (a, b) => a < b })
   }
 
+  test("semantic dedup: cluster-scoped pairs equal brute force restricted to co-clustered vectors") {
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seeds = corpus.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getAs[Seq[Float]](0).toArray)
+    // the operator under test, at a low threshold so real pairs exist
+    val got = Dedup.semanticClusterPairs(corpus, "vec_id", "embedding", seeds, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("cosine"))).toSet
+    // brute force: assign every vector, then all-pairs within each cluster
+    val asg = Similarity.assignClusters(corpus, "embedding", seeds)
+      .select(col("vec_id"), col("cluster"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Seq[Float]](2).toArray))
+    val want = (for {
+      (ia, ca, va) <- asg; (ib, cb, vb) <- asg
+      if ca == cb && ia < ib
+      c = TextFns.cosine(va, vb) if c >= 0.3
+    } yield (ia, ib, math.rint(c * 10000) / 10000)).toSet
+    assert(want.nonEmpty, "fixture should produce co-clustered pairs at cos>=0.3")
+    assert(got === want)
+  }
+
+  test("semantic dedup: trained-centroid path groups every planted duplicate with its original") {
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val planted = corpus.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val full = corpus.unionByName(planted)
+    // production path: bounded-sample k-means centroids (no seed list)
+    val out = Dedup.semanticDedup(full, "vec_id", "embedding",
+        centroids = None, threshold = 0.95, nClusters = 8)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    val byId = out
+    (0L until 10L).foreach { i =>
+      // an identical copy always lands in its original's cluster, so the
+      // pair is found regardless of where Lloyd put the centroids
+      assert(byId(i.toString)._1 === byId((i + 1000000L).toString)._1,
+        s"dup of $i not grouped with original")
+    }
+    // exactly one survivor per group, and it is the min id
+    val groups = byId.groupBy(_._2._1)
+    groups.foreach { case (g, members) =>
+      val keeps = members.filter(_._2._2).keys.toSeq
+      assert(keeps === Seq(members.keys.min), s"group $g survivor wrong")
+      assert(g === members.keys.min)
+    }
+  }
+
   test("hashSplit: deterministic, exhaustive, stable under corpus growth") {
     val full = TextAnalysis.hashSplit(docs, "doc_id")
     val rows = full.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("split"))).toMap
