@@ -34,6 +34,10 @@ object Bench {
       BuildPipeline.run(Corpus.docs(spark, nDocs), new DeterministicExtractor).triples.count()
     }
     val kgSecs = results("kg_build_e2e")
+    // free the build's stage caches before timing the operator queries
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = false))
+    spark.sharedState.cacheManager.clearCache()
 
     // heavy operators on the sf-dir tables
     val heavy = Seq("q_ngram_jaccard", "q_minhash_lsh", "q_simhash_ham", "q_embed_neardup",
@@ -44,6 +48,13 @@ object Bench {
     heavy.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         timed(name)(fn(spark, sfDir).count())
+        // each query starts cold and leaks nothing into the next timing:
+        // handle-less entries (pack's prefix-sum cache, the dedup ops'
+        // label caches, semantic dedup's assignment cut) would otherwise
+        // pin one RDD per query for the session's lifetime
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
       }
     }
 

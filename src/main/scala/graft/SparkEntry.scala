@@ -202,14 +202,8 @@ object SparkEntry {
       val corpus = emb.unionByName(planted)
       val seeds = emb.filter(col("vec_id") < 8).orderBy("vec_id")
         .select("embedding").collect().map(_.getAs[Seq[Float]](0).toArray)
-      val pairs = Dedup.semanticClusterPairs(corpus, "vec_id", "embedding", seeds, 0.95)
-      val surv = Dedup.dedupClusters(corpus, "vec_id", pairs)
+      Dedup.semanticDedup(corpus, "vec_id", "embedding", Some(seeds), threshold = 0.95)
         .withColumnRenamed("group", "group_id")
-      Similarity.assignClusters(corpus, "embedding", seeds)
-        .select(col("vec_id").cast("string").as("id"),
-          col("cluster").cast("long").as("cluster"))
-        .join(surv, Seq("id"))
-        .select("id", "cluster", "group_id", "keep")
     }),
 
     // ----- text analysis ----------------------------------------------------
@@ -708,7 +702,7 @@ object SparkEntry {
         |WHERE bucket_hash < CASE stratum
         |  WHEN 'src1' THEN '80000000'
         |  WHEN 'src2' THEN '40000000'
-        |  ELSE 'ffffffff' END""".stripMargin,
+        |  ELSE 'g' END""".stripMargin,
     "q_stream_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  min(doc_id) AS id

@@ -15,6 +15,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // no cache sweep here: the kg_* entries deliberately share the
+      // memoized build's stage caches across queries, and this process
+      // exits after one pass — handle-less entries leak at most one slim
+      // RDD each for its remainder (Bench, which loops, does sweep)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -38,9 +38,7 @@ object GraftFunctions {
     composed("estimate_tokens", 1)(cs => TextFns.estimateTokensCol(cs.head)),
     composed("non_alpha_ratio", 1)(cs => TextFns.nonAlphaRatioCol(cs.head)),
     // whitespace-normalized lowercase md5 — the exact-dedup identity
-    // (keep in sync with ops.TextAnalysis.fingerprintCol)
-    composed("doc_fingerprint", 1)(cs =>
-      md5(regexp_replace(trim(lower(cs.head)), "\\s+", " "))))
+    composed("doc_fingerprint", 1)(cs => TextFns.fingerprintCol(cs.head)))
 
   /** Register every function on a live session (tests / notebooks). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, b) =>

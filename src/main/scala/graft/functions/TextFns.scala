@@ -68,6 +68,14 @@ object TextFns {
   def chunkKeep(c: Column): Column =
     length(c) >= 100 && nonAlphaRatioCol(c) <= 0.4
 
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup / provenance identity. THE canonical definition:
+    * ops.TextAnalysis, the SQL registry's doc_fingerprint, and the
+    * streaming dedup state key all route here so the identity can never
+    * fork between surfaces. */
+  def fingerprintCol(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+
   // ---------------------------------------------------------------------
   // Fuzzy name matching (reference tools/fuzzy_matcher.py:48-58 —
   // fuzzywuzzy token_set_ratio; we use a Levenshtein-based ratio which is

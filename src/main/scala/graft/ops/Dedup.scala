@@ -264,9 +264,15 @@ object Dedup {
     * Output: (ida, idb, cluster, cosine) with ida < idb. */
   def semanticClusterPairs(df: DataFrame, idCol: String, vecCol: String,
                            centroids: Array[Array[Float]],
-                           threshold: Double = 0.95): DataFrame = {
-    val assigned = Similarity.assignClusters(
-      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+                           threshold: Double = 0.95): DataFrame =
+    pairsFromAssigned(Similarity.assignClusters(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids), threshold)
+
+  /** Within-cluster exact-cosine pairs over an already-assigned
+    * (id, v, cluster) frame — split out so [[semanticDedup]] pays the
+    * per-row nearest-centroid pass exactly ONCE for the pair stage, the
+    * survivor stage and the reported cluster column. */
+  private def pairsFromAssigned(assigned: DataFrame, threshold: Double): DataFrame = {
     val l = assigned.select(col("cluster"), col("id").as("ida"), col("v").as("va"))
     val r = assigned.select(col("cluster").as("cluster2"), col("id").as("idb"), col("v").as("vb"))
     // threshold on the UNROUNDED cosine; rounding only the reported column
@@ -277,19 +283,40 @@ object Dedup {
   }
 
   /** Full SemDeDup: [[Similarity.trainCentroids]] (bounded-sample k-means)
-    * -> [[semanticClusterPairs]] -> [[dedupClusters]] survivor selection.
-    * Output: (id, group, keep) — one `keep` per connected near-dup set,
-    * exactly the contract of the other dedup survivors. Callers that need
-    * oracle-reproducible clustering pass explicit `centroids` (e.g. the
-    * first-k-ids seed set the q_semantic_dedup entry uses); production
-    * passes None and trains. */
+    * -> assignment (ONE nearest-centroid pass, materialized so the pair
+    * self-join and the output both read it without re-running the UDF) ->
+    * within-cluster exact-cosine pairs -> [[dedupClusters]] survivors.
+    * Output: (id, cluster, group, keep) — one `keep` per connected
+    * near-dup set, same survivor contract as the other dedup ops.
+    * Callers that need oracle-reproducible clustering pass explicit
+    * `centroids` (e.g. the first-k-ids seed set the q_semantic_dedup
+    * entry uses); production passes None and trains. The materialized
+    * assignment stays cached for the session (slim id+cluster+vec rows);
+    * long-lived sessions free it via [[semanticDedupHandle]]. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Option[Array[Array[Float]]] = None,
                     threshold: Double = 0.95, nClusters: Int = 16,
-                    seed: Long = 7L): DataFrame = {
+                    seed: Long = 7L): DataFrame =
+    semanticDedupHandle(df, idCol, vecCol, centroids, threshold, nClusters, seed)._1
+
+  /** [[semanticDedup]] plus a cleanup thunk freeing the assignment and
+    * component caches once the caller has consumed the result. */
+  def semanticDedupHandle(df: DataFrame, idCol: String, vecCol: String,
+                          centroids: Option[Array[Array[Float]]] = None,
+                          threshold: Double = 0.95, nClusters: Int = 16,
+                          seed: Long = 7L): (DataFrame, () => Unit) = {
     val cents = centroids.getOrElse(
       Similarity.trainCentroids(df.select(col(idCol), col(vecCol)),
         idCol, vecCol, nLists = nClusters, seed = seed))
-    dedupClusters(df, idCol, semanticClusterPairs(df, idCol, vecCol, cents, threshold))
+    val (assigned, aRdd) = graft.core.Materialize.stageCutHandle(
+      Similarity.assignClusters(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", cents))
+    val (surv, freeCc) = dedupClustersHandle(
+      assigned.select("id"), "id", pairsFromAssigned(assigned, threshold))
+    val out = assigned.select(col("id").cast("string").as("id"),
+        col("cluster").cast("long").as("cluster"))
+      .join(surv, Seq("id"))
+      .select("id", "cluster", "group", "keep")
+    (out, () => { freeCc(); aRdd.unpersist(blocking = false) })
   }
 }

@@ -32,14 +32,15 @@ object Events {
     * readers. Returns (user_id, session_start_us, session_end_us,
     * n_events, sum_value). */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
-                 gap: String = "30 minutes"): DataFrame =
+                 gap: String = "30 minutes",
+                 valueCol: String = "value"): DataFrame =
     events
       .groupBy(col(userCol).as("user_id"), session_window(col(tsCol), gap))
       .agg(
         min(micros(col(tsCol))).as("session_start_us"),
         max(micros(col(tsCol))).as("session_end_us"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        round(sum(col(valueCol)), 2).as("sum_value"))
       .select("user_id", "session_start_us", "session_end_us",
         "n_events", "sum_value")
 

@@ -31,7 +31,10 @@ import org.apache.spark.storage.StorageLevel
   */
 object Packing {
 
-  /** [[packHandle]] without the cache-cleanup thunk, for one-shot use. */
+  /** [[packHandle]] without the cache-cleanup thunk, for one-shot use —
+    * the intermediate (id, tokens) cache stays pinned until session end,
+    * so sessions that pack repeatedly must use [[packHandle]] (or sweep
+    * `sparkContext.getPersistentRDDs`, as Bench does between queries). */
   def pack(df: DataFrame, idCol: String, tokensCol: String, budget: Long,
            numPartitions: Int = 0): DataFrame =
     packHandle(df, idCol, tokensCol, budget, numPartitions)._1

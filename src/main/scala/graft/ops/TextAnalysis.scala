@@ -16,6 +16,24 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** Fraction threshold rendered as zero-padded lowercase hex of
+    * floor(f * 2^32): same-length hex strings order numerically, so
+    * `bucket_hash < hexAt(f)` keeps exactly the f-fraction of a uniform
+    * 32-bit hash. f >= 1.0 returns the sentinel "g" (sorts after every
+    * hex string) so a rate-1.0 stratum keeps EVERY row — capping at
+    * "ffffffff" would strictly-compare away the ~2^-32 of ids whose hash
+    * is exactly ffffffff (real occurrences at 1e12-doc scale). Shared by
+    * [[hashSplit]] and [[stratifiedSample]]; oracle SQL mirrors the same
+    * rendering. */
+  private[ops] def hexAt(f: Double): String =
+    if (f >= 1.0) "g"
+    else f"${(f * 4294967296.0).toLong}%08x"
+
+  /** First 8 hex chars of md5(id:salt) — uniform on [0, 2^32), portable
+    * SQL (the DuckDB oracles are the same expression verbatim). */
+  private[ops] def saltedHashCol(id: Column, salt: String): Column =
+    substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8)
+
   /** Quality features per document:
     * n_words, n_chars, avg_word_len, stopword_ratio, non_alpha_ratio,
     * all ratios rounded to 4 decimals (shared rounding with the oracle).
@@ -45,10 +63,11 @@ object TextAnalysis {
     df.select(col(idCol).as("id"),
       TextFns.estimateTokensCol(col(textCol)).cast("long").as("n_tokens"))
 
-  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
-    * the exact-dedup / provenance key. */
+  /** Document fingerprint — delegates to the canonical
+    * [[TextFns.fingerprintCol]] (one definition across the ops layer, the
+    * SQL registry and the streaming dedup state key). */
   def fingerprintCol(textCol: Column): Column =
-    md5(regexp_replace(trim(lower(textCol)), "\\s+", " "))
+    TextFns.fingerprintCol(textCol)
 
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), fingerprintCol(col(textCol)).as("fingerprint"))
@@ -104,11 +123,9 @@ object TextAnalysis {
                 salt: String = "split-v1"): DataFrame = {
     require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
       s"invalid split fractions: train=$trainFrac val=$valFrac")
-    def hexAt(f: Double): String =
-      f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
     val t1 = hexAt(trainFrac)
     val t2 = hexAt(trainFrac + valFrac)
-    val h = substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8)
+    val h = saltedHashCol(col(idCol), salt)
     df.select(col(idCol).as("id"), h.as("bucket_hash"),
       when(h < lit(t1), lit("train"))
         .when(h < lit(t2), lit("val"))
@@ -236,9 +253,7 @@ object TextAnalysis {
                        salt: String = "sample-v1"): DataFrame = {
     require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1),
       s"sample rates must be in [0, 1]: $rates default=$defaultRate")
-    def hexAt(f: Double): String =
-      f"${math.min((f * 4294967296.0).toLong, 4294967295L)}%08x"
-    val h = substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8)
+    val h = saltedHashCol(col(idCol), salt)
     val threshold = rates.foldLeft(lit(hexAt(defaultRate))) { case (acc, (stratum, rate)) =>
       when(col(strataCol) === stratum, lit(hexAt(rate))).otherwise(acc)
     }

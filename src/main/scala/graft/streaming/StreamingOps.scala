@@ -74,6 +74,18 @@ object StreamingOps {
     * table survives in the catalog and a same-named append would grow it. */
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Copy a finished memory sink's rows out and DROP the temp view, so
+    * repeated *Once invocations in one session don't accumulate one
+    * driver-resident result copy per call (the sink's data is only
+    * released once the catalog stops referencing it). The copy is the
+    * same driver-bounded size the memory sink already was. */
+  private def drainMemorySink(spark: SparkSession, table: String): DataFrame = {
+    val sink = spark.table(table)
+    val (rows, schema) = (sink.collect(), sink.schema)
+    spark.catalog.dropTempView(table)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   /** FileStreamSource force-sets basePath to the source path itself for
     * any NON-glob path, and partition discovery then rejects a basePath
     * that is a plain file — so streaming a single parquet FILE (the
@@ -100,7 +112,7 @@ object StreamingOps {
       .writeStream.format("memory").queryName(table)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(table)
+    drainMemorySink(spark, table)
   }
 
   /** Run [[sourceWindowStats]] over a parquet path as one AvailableNow
@@ -120,7 +132,7 @@ object StreamingOps {
     q.awaitTermination()
     // epoch seconds, not timestamp: the driver compares parquet values in
     // pandas, where tz-aware vs naive timestamp columns never hash-match
-    spark.table(table)
+    drainMemorySink(spark, table)
       .select(col("win_start").cast("long").as("win_start"),
         col("source"), col("n_docs"), col("n_tokens"))
   }

@@ -200,10 +200,12 @@ class OpsSpec extends SparkSpec {
       .withColumn("vec_id", col("vec_id") + lit(1000000L))
     val full = corpus.unionByName(planted)
     // production path: bounded-sample k-means centroids (no seed list)
-    val out = Dedup.semanticDedup(full, "vec_id", "embedding",
-        centroids = None, threshold = 0.95, nClusters = 8)
-      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
-    val byId = out
+    val (ded, free) = Dedup.semanticDedupHandle(full, "vec_id", "embedding",
+      centroids = None, threshold = 0.95, nClusters = 8)
+    val byId = ded.collect()
+      .map(r => r.getAs[String]("id") ->
+        ((r.getAs[String]("group"), r.getAs[Boolean]("keep")))).toMap
+    free()
     (0L until 10L).foreach { i =>
       // an identical copy always lands in its original's cluster, so the
       // pair is found regardless of where Lloyd put the centroids
