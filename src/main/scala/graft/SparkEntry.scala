@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Corpus
 import graft.extract.DeterministicExtractor
-import graft.ops.{Dedup, Events, Packing, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Importance, Packing, Similarity, TextAnalysis}
 import graft.pipeline.BuildPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -258,6 +258,14 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(s.read.parquet(t(d, "documents")),
         "doc_id", "source",
         rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))),
+    // DSIR importance weights: target distribution = the src0 slice,
+    // raw = the whole corpus; hashed-token bucket models, Laplace(+1),
+    // per-doc sum of log ratios — deterministic and fully SQL-replayable
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      Importance.importanceWeights(docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text", buckets = 256)
+    }),
     // stateful Structured Streaming exact dedup, run as one AvailableNow
     // pass (one input file -> one micro-batch -> survivor = min id per
     // fingerprint, which is what the oracle expresses)
@@ -703,6 +711,39 @@ object SparkEntry {
         |  WHEN 'src1' THEN '80000000'
         |  WHEN 'src2' THEN '40000000'
         |  ELSE 'g' END""".stripMargin,
+    // same tokenization as the dedup family; feature hash = first 8 md5
+    // hex chars as an integer mod 256 (Spark conv(...,16,10) == DuckDB
+    // CAST('0x'|| AS BIGINT)); Laplace(+1) bucket models; weight = sum of
+    // ln-prob ratios over the doc's token occurrences
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents
+        |), tb AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS b FROM tok
+        |), ttok AS (
+        |  SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '')) AS tok
+        |    FROM documents WHERE source = 'src0')
+        |), rc AS (SELECT b, count(*) AS cnt FROM tb GROUP BY 1),
+        |tc AS (SELECT b, count(*) AS cnt FROM ttok GROUP BY 1),
+        |ratio AS (
+        |  SELECT rc.b,
+        |    ln(COALESCE(tc.cnt, 0) + 1.0) - ln((SELECT count(*) FROM ttok) + 256.0)
+        |    - (ln(rc.cnt + 1.0) - ln((SELECT count(*) FROM tb) + 256.0)) AS lr
+        |  FROM rc LEFT JOIN tc ON rc.b = tc.b
+        |), sums AS (
+        |  SELECT tb.doc_id, count(*) AS n_tokens, sum(ratio.lr) AS w
+        |  FROM tb JOIN ratio ON tb.b = ratio.b GROUP BY 1
+        |)
+        |SELECT d.doc_id AS id, COALESCE(s.n_tokens, 0) AS n_tokens,
+        |  round(COALESCE(s.w, 0.0), 4) AS weight
+        |FROM documents d LEFT JOIN sums s ON d.doc_id = s.doc_id""".stripMargin,
     "q_stream_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  min(doc_id) AS id

@@ -221,6 +221,56 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("DSIR importance weights match a driver-side replay; target slice scores higher") {
+    import java.security.MessageDigest
+    val target = docs.filter(col("source") === "src0")
+    val got = graft.ops.Importance.importanceWeights(docs, "doc_id", "text", target, "text",
+        buckets = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // brute-force replay with plain Scala (same tokenization, same md5
+    // bucket hash, same Laplace(+1) models)
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ").filter(_.nonEmpty).toSeq
+    def bucket(tok: String): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val rows = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val rawB = rows.flatMap(r => toks(r._2)).map(bucket)
+    val tgtB = rows.filter(_._3 == "src0").flatMap(r => toks(r._2)).map(bucket)
+    val rawCnt = rawB.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    val tgtCnt = tgtB.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    def lr(b: Long): Double =
+      math.log(tgtCnt.getOrElse(b, 0L) + 1.0) - math.log(tgtB.length + 256.0) -
+        (math.log(rawCnt.getOrElse(b, 0L) + 1.0) - math.log(rawB.length + 256.0))
+    rows.foreach { case (id, text, src) =>
+      val bs = toks(text).map(bucket)
+      val (n, w) = got(id)
+      assert(n === bs.length.toLong, s"n_tokens mismatch for doc $id")
+      assert(math.abs(w - bs.map(lr).sum) < 1e-3, s"weight mismatch for doc $id")
+    }
+    // directional: the target slice must out-score the rest on average
+    val bySrc = rows.map { case (id, _, src) => src -> got(id)._2 }
+    val tgtW = bySrc.collect { case ("src0", w) => w }
+    val restW = bySrc.collect { case (s, w) if s != "src0" => w }
+    assert(tgtW.sum / tgtW.length > restW.sum / restW.length,
+      "target-sliced docs should carry higher importance under their own target model")
+  }
+
+  test("DSIR gumbel top-k sample: deterministic, size-k, score-ordered") {
+    val target = docs.filter(col("source") === "src0")
+    def run() = graft.ops.Importance.importanceSample(docs, "doc_id", "text",
+        target, "text", k = 50, buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val a = run(); val b = run()
+    assert(a.toSeq === b.toSeq, "selection must be deterministic")
+    assert(a.length === 50)
+    assert(a.map(_._2).toSeq === a.map(_._2).sortBy(-_).toSeq, "scores descend")
+  }
+
   test("hashSplit: deterministic, exhaustive, stable under corpus growth") {
     val full = TextAnalysis.hashSplit(docs, "doc_id")
     val rows = full.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("split"))).toMap
