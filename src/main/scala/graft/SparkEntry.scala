@@ -225,6 +225,10 @@ object SparkEntry {
     // Gopher-style repetitiousness signals over word bigrams
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetition(s.read.parquet(t(d, "documents")), "doc_id", "text")),
+    // Lee-et-al span-level dedup signal: fraction of each document's
+    // 20-token windows whose hash occurs >= 2 times corpus-wide
+    "q_dup_spans" -> ((s, d) =>
+      Dedup.dupSpanStats(s.read.parquet(t(d, "documents")), "doc_id", "text")),
     // the synthetic corpus carries no PII, so plant deterministic email /
     // ipv4 / phone literals on docs 0-9 (mirrored in the oracle SQL) —
     // the operator must count exactly those
@@ -647,6 +651,22 @@ object SparkEntry {
         |  round(t.top_gram_count / a.n_grams, 4) AS top_gram_frac,
         |  round((a.n_grams - a.n_distinct) / a.n_grams, 4) AS dup_gram_frac
         |FROM agg a JOIN top t USING (id)""".stripMargin,
+    "q_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), idx AS (
+        |  SELECT id, toks, unnest(generate_series(1, len(toks) - 19)) AS i
+        |  FROM w WHERE len(toks) >= 20
+        |), wins AS (
+        |  SELECT id, md5(array_to_string(toks[i:i+19], ' ')) AS h FROM idx
+        |), cnt AS (SELECT h, count(*) AS c FROM wins GROUP BY h)
+        |SELECT id, count(*)::BIGINT AS n_windows,
+        |  sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+        |  round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_span_frac
+        |FROM wins JOIN cnt USING (h)
+        |GROUP BY id""".stripMargin,
     "q_pii_scan" ->
       """WITH p AS (
         |  SELECT doc_id AS id,

@@ -249,6 +249,48 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cosine"))
   }
 
+  /** Cross-document duplicated-span statistics — the span-level exact-dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): slide a k-token window over every
+    * document (the dedup family's `[^a-zA-Z0-9]+` lowercase tokenization)
+    * and mark a window occurrence duplicated iff its hash occurs at least
+    * twice in the WHOLE corpus (within- or cross-document — a full
+    * suffix-array finds arbitrary-length repeats; fixed-k windows are the
+    * bounded-memory streaming approximation). Documents with fewer than k
+    * tokens emit no row (they have no window).
+    *
+    * 100 TB shape: the text is scanned ONCE — windows are built by codegen
+    * higher-order functions (sequence/transform/slice) and immediately
+    * md5-hashed, so everything after the scan ships 16-byte hashes, never
+    * span text. Three partial-agg-friendly hash shuffles: per-(id, window)
+    * multiplicities, per-window corpus totals (slim (h, m) rows), and the
+    * per-doc rollup of the joined result. A boilerplate span hot in
+    * millions of documents skews only the (h)-keyed join, which AQE's
+    * skew-join splitting handles — no window-function-over-hot-key stage
+    * anywhere. Returns (id, n_windows, n_dup_windows, dup_span_frac). */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 20): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val words = filter(split(lower(regexp_replace(col("_t"),
+      "[^a-zA-Z0-9]+", " ")), " "), w => w =!= "")
+    // sequence(1, 0) would DESCEND ([1, 0]) rather than emit an empty
+    // range — guard short docs to an empty array (same as repetition)
+    val wins = when(size(words) >= k,
+        transform(sequence(lit(1), size(words) - lit(k - 1)),
+          i => md5(concat_ws(" ", slice(words, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val per = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .select(col("id"), explode(wins).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("m"))
+    val cnt = per.groupBy("h").agg(sum("m").as("c"))
+    per.join(cnt, Seq("h"))
+      .groupBy("id").agg(
+        sum("m").as("n_windows"),
+        sum(when(col("c") >= 2, col("m")).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_span_frac",
+        round(col("n_dup_windows") / col("n_windows"), 4))
+  }
+
   /** Cluster-scoped embedding near-dup pairs — the candidate stage of
     * SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): every vector is assigned to its nearest centroid

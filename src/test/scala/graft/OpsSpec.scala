@@ -306,6 +306,43 @@ class OpsSpec extends SparkSpec {
     assert(got === Map(2L -> 2L, 4L -> 1L))
   }
 
+  test("dupSpanStats: cross-doc and within-doc duplicated windows, short docs drop") {
+    val d = Seq(
+      (1L, "A, b c! d e"),          // windows(k=3): "a b c","b c d","c d e" — "a b c" shared with doc 2
+      (2L, "a b c x y"),            // "a b c","b c x","c x y"
+      (3L, "p q r p q r p q"),      // 6 windows, every one occurs twice WITHIN the doc
+      (4L, "s t")                   // < 3 tokens: no row
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L).getAs[Long]("n_windows") === 3L)
+    assert(got(1L).getAs[Long]("n_dup_windows") === 1L)
+    assert(got(1L).getAs[Double]("dup_span_frac") === 0.3333)
+    assert(got(2L).getAs[Long]("n_dup_windows") === 1L)
+    assert(got(3L).getAs[Long]("n_windows") === 6L)
+    assert(got(3L).getAs[Long]("n_dup_windows") === 6L)
+    assert(got(3L).getAs[Double]("dup_span_frac") === 1.0)
+    // brute-force cross-check on the real fixture corpus at the entry's k
+    val k = 20
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    def windows(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-zA-Z0-9]+").filter(_.nonEmpty)
+        .sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+    val all = corpus.flatMap { case (_, t) => windows(t) }
+      .groupBy(identity).map { case (w, o) => w -> o.length }
+    val expected = corpus.flatMap { case (id, t) =>
+      val ws = windows(t)
+      if (ws.isEmpty) None
+      else Some(id -> ((ws.size.toLong, ws.count(w => all(w) >= 2).toLong)))
+    }.toMap
+    val fixture = Dedup.dupSpanStats(docs, "doc_id", "text", k).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows")))).toMap
+    assert(fixture === expected)
+  }
+
   test("repetition: bigram counts, top gram, dup fraction match hand computation") {
     val d = Seq(
       (1L, "a b a b a"),        // bigrams: a b, b a, a b, b a — top "b a" (tie 2/2, lexicographically greatest), dup 2/4
