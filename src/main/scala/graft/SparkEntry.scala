@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Corpus
 import graft.extract.DeterministicExtractor
-import graft.ops.{Dedup, Events, Importance, Packing, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Importance, Packing, Ranking, Similarity, TextAnalysis}
 import graft.pipeline.BuildPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -229,6 +229,11 @@ object SparkEntry {
     // 20-token windows whose hash occurs >= 2 times corpus-wide
     "q_dup_spans" -> ((s, d) =>
       Dedup.dupSpanStats(s.read.parquet(t(d, "documents")), "doc_id", "text")),
+    // BM25 keyword retrieval against a fixed term query (the lexical
+    // companion to the ANN search path)
+    "q_bm25" -> ((s, d) =>
+      Ranking.bm25(s.read.parquet(t(d, "documents")), "doc_id", "text",
+        Seq("spark", "query", "join"))),
     // the synthetic corpus carries no PII, so plant deterministic email /
     // ipv4 / phone literals on docs 0-9 (mirrored in the oracle SQL) —
     // the operator must count exactly those
@@ -375,6 +380,12 @@ object SparkEntry {
       val r = kg(s, d)
       graft.query.GraphOps.stats(r.nodes, r.edges, r.properties)
     }),
+    // PageRank centrality over the materialized graph — iterative
+    // DataFrame self-joins, dangling mass redistributed, rank mass
+    // conserved at 1; gated by CentralitySpec (power-iteration
+    // cross-check), rows-only here.
+    "kg_pagerank" -> ((s, d) =>
+      graft.query.Centrality.pageRank(kg(s, d).edges.toDF())),
     // Pre-build cost/time estimate (reference tools/estimator.py analog):
     // one narrow agg over the chunks table; formulas gated by ChunkerSpec
     // against the reference's published numbers — rows-only here.
@@ -667,6 +678,37 @@ object SparkEntry {
         |  round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_span_frac
         |FROM wins JOIN cnt USING (h)
         |GROUP BY id""".stripMargin,
+    // BM25 (Lucene +1-inside-log idf), k1=1.2 b=0.75, terms spark/query/join.
+    // FP parity: doc lengths / tfs / dfs are integers (exact in double any
+    // partitioning), the per-term formula is written with identical
+    // association on both sides, and composite constants are spelled as the
+    // same arithmetic ((1.2 + 1.0), not 2.2 — the two parse to DIFFERENT
+    // doubles at the tie boundary).
+    "q_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), per AS (
+        |  SELECT id, len(toks)::BIGINT AS dl,
+        |    len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf0,
+        |    len(list_filter(toks, x -> x = 'query'))::BIGINT AS tf1,
+        |    len(list_filter(toks, x -> x = 'join'))::BIGINT AS tf2
+        |  FROM w
+        |), st AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(dl)::DOUBLE / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+        |  FROM per
+        |)
+        |SELECT id, round(
+        |    ln((n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE) + 1.0::DOUBLE) * (tf0 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf0 + ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl / avgdl) * 1.2::DOUBLE)
+        |  + ln((n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE) + 1.0::DOUBLE) * (tf1 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf1 + ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl / avgdl) * 1.2::DOUBLE)
+        |  + ln((n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE) + 1.0::DOUBLE) * (tf2 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf2 + ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl / avgdl) * 1.2::DOUBLE), 4) AS bm25
+        |FROM per, st
+        |WHERE tf0 + tf1 + tf2 > 0""".stripMargin,
     "q_pii_scan" ->
       """WITH p AS (
         |  SELECT doc_id AS id,

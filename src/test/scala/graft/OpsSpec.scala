@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFns
-import graft.ops.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Packing, Ranking, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data ops: dedup family recall/precision vs exact computation,
@@ -341,6 +341,50 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("id") ->
         ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows")))).toMap
     assert(fixture === expected)
+  }
+
+  test("bm25: matches a driver-side reference computation; zero-hit docs drop") {
+    val terms = Seq("spark", "query", "join")
+    val k1 = 1.2; val b = 0.75
+    def refBm25(corpus: Seq[(Long, String)]): Map[Long, Double] = {
+      val toks = corpus.map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-zA-Z0-9]+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val n = corpus.size.toDouble
+      val avgdl = toks.values.map(_.size.toLong).sum.toDouble / corpus.size
+      val dfs = terms.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+      corpus.flatMap { case (id, _) =>
+        val dl = toks(id).size.toDouble
+        val score = terms.map { t =>
+          val tf = toks(id).count(_ == t).toDouble
+          val idf = math.log((n - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1.0)
+          val norm = (1.0 - b) + dl * b / avgdl
+          idf * (tf * (k1 + 1.0)) / (tf + norm * k1)
+        }.reduce(_ + _)
+        if (terms.exists(toks(id).contains)) Some(id -> score) else None
+      }.toMap
+    }
+    val hand = Seq(
+      (1L, "Spark query, spark JOIN!"),
+      (2L, "query of the realm"),
+      (3L, "nothing relevant here"),
+      (4L, ""))
+    val got = Ranking.bm25(hand.toDF("doc_id", "text"), "doc_id", "text", terms)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bm25")).toMap
+    val exp = refBm25(hand)
+    assert(got.keySet === exp.keySet)
+    assert(got.keySet === Set(1L, 2L))
+    // doc 1 hits all three terms, twice for spark — must outrank doc 2
+    assert(got(1L) > got(2L))
+    exp.foreach { case (id, s) => assert(math.abs(got(id) - s) <= 1e-4 + 1e-9) }
+    // cross-check the whole fixture corpus against the same reference
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toSeq
+    val gotFx = Ranking.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("bm25")).toMap
+    val expFx = refBm25(corpus)
+    assert(gotFx.keySet === expFx.keySet)
+    expFx.foreach { case (id, s) => assert(math.abs(gotFx(id) - s) <= 1e-4 + 1e-9) }
   }
 
   test("repetition: bigram counts, top gram, dup fraction match hand computation") {
