@@ -234,6 +234,9 @@ object SparkEntry {
     "q_bm25" -> ((s, d) =>
       Ranking.bm25(s.read.parquet(t(d, "documents")), "doc_id", "text",
         Seq("spark", "query", "join"))),
+    // top-3 TF-IDF terms per document (smoothed idf, term-asc ties)
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(s.read.parquet(t(d, "documents")), "doc_id", "text")),
     // the synthetic corpus carries no PII, so plant deterministic email /
     // ipv4 / phone literals on docs 0-9 (mirrored in the oracle SQL) —
     // the operator must count exactly those
@@ -709,6 +712,26 @@ object SparkEntry {
         |  + ln((n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE) + 1.0::DOUBLE) * (tf2 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf2 + ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl / avgdl) * 1.2::DOUBLE), 4) AS bm25
         |FROM per, st
         |WHERE tf0 + tf1 + tf2 > 0""".stripMargin,
+    // smoothed TF-IDF top-3; rank order is FP-safe: integer tf/df/N make
+    // both engines compute bit-identical double scores, ties term-asc
+    "q_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), tf AS (
+        |  SELECT id, term, count(*)::BIGINT AS tf
+        |  FROM (SELECT id, unnest(toks) AS term FROM w)
+        |  GROUP BY id, term
+        |), dfq AS (SELECT term, count(*)::BIGINT AS dft FROM tf GROUP BY term),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM w),
+        |sc AS (
+        |  SELECT id, term, tf, tf * ln((n + 1.0::DOUBLE) / (dft + 1.0::DOUBLE)) AS s
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN nn
+        |)
+        |SELECT id, rnk::BIGINT AS rnk, term, tf, round(s, 4) AS tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, term ASC) AS rnk FROM sc)
+        |WHERE rnk <= 3""".stripMargin,
     "q_pii_scan" ->
       """WITH p AS (
         |  SELECT doc_id AS id,

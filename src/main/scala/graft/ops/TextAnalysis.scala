@@ -179,6 +179,43 @@ object TextAnalysis {
           .as("dup_gram_frac"))
   }
 
+  /** Top-k TF-IDF terms per document — the keyword/topic fingerprint a
+    * curation pipeline uses for corpus exploration and domain labeling.
+    * score(t, D) = tf(t, D) * ln((N + 1) / (df_t + 1)) (add-one smoothed
+    * idf), ties broken by term ascending.
+    *
+    * 100 TB shape: tokens are exploded ONCE under an explicit (id)
+    * repartition, so the per-(id, term) count reuses that partitioning
+    * (no second shuffle — hash(id) co-locates every (id, term) group);
+    * document frequencies are a partial-agg rollup of the already-slim
+    * (id, term, tf) relation; N is a one-row broadcast. The final top-k
+    * window partitions by id — partition size is bounded by per-document
+    * distinct terms, never by corpus size, so there is no hot-key window
+    * hazard. All score inputs are integers, so the double scores (and
+    * hence the rank order) are bit-identical across partitionings and vs
+    * the DuckDB oracle. Returns (id, rnk, term, tf, tfidf). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, s"top-k must be >= 1, got $k")
+    val words = filter(split(lower(regexp_replace(col("_t"),
+      "[^a-zA-Z0-9]+", " ")), " "), w => w =!= "")
+    val n1 = broadcast(df.agg(count(lit(1)).as("_n")))
+    val tf = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .repartition(col("id"))
+      .select(col("id"), explode(words).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
+    val scored = tf.join(dfq, Seq("term")).crossJoin(n1)
+      .withColumn("_s", col("tf").cast("double") *
+        log((col("_n").cast("double") + 1.0) / (col("_df").cast("double") + 1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("_s").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("rnk").cast("long").as("rnk"), col("term"),
+        col("tf"), round(col("_s"), 4).as("tfidf"))
+  }
+
   /** PII-signal regexes shared verbatim with the DuckDB oracle — plain
     * ASCII classes only, so Java regex and RE2 agree on every match. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -387,6 +387,35 @@ class OpsSpec extends SparkSpec {
     expFx.foreach { case (id, s) => assert(math.abs(gotFx(id) - s) <= 1e-4 + 1e-9) }
   }
 
+  test("tfidf top terms: matches a driver-side reference on the fixture corpus") {
+    val k = 3
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toSeq
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-zA-Z0-9]+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = corpus.size.toDouble
+    val dfs = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, o) => t -> o.size.toDouble }
+    val expected = toks.flatMap { case (id, ws) =>
+      val scored = ws.groupBy(identity).toSeq.map { case (t, o) =>
+        (t, o.size.toLong, o.size.toDouble * math.log((n + 1.0) / (dfs(t) + 1.0)))
+      }
+      scored.sortBy { case (t, _, s) => (-s, t) }.take(k).zipWithIndex
+        .map { case ((t, tf, s), i) => (id, (i + 1).toLong) -> ((t, tf, s)) }
+    }
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rnk")) ->
+        ((r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Double]("tfidf")))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (key, (t, tf, s)) =>
+      val (gt, gtf, gs) = got(key)
+      assert(gt === t, key)
+      assert(gtf === tf, key)
+      assert(math.abs(gs - s) <= 1e-4 + 1e-9, key)
+    }
+  }
+
   test("repetition: bigram counts, top gram, dup fraction match hand computation") {
     val d = Seq(
       (1L, "a b a b a"),        // bigrams: a b, b a, a b, b a — top "b a" (tie 2/2, lexicographically greatest), dup 2/4
