@@ -41,7 +41,7 @@ object Bench {
 
     // heavy operators on the sf-dir tables
     val heavy = Seq("q_ngram_jaccard", "q_minhash_lsh", "q_simhash_ham", "q_embed_neardup",
-      "q_dedup_clusters", "q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_quality",
+      "q_dedup_clusters", "q_cosine_topk", "q_ann_lsh", "q_ann_ivf", "q_quality", "q_gopher",
       "q_exact_dedup", "q_agg_pricing", "q_join_agg",
       "q_repetition", "q_dup_spans", "q_bm25", "q_tfidf", "q_line_dedup", "q_pack", "q_stream_dedup",
       "q_sessionize", "q_asof_join", "q_semantic_dedup", "q_dsir_weights")

@@ -237,6 +237,19 @@ object SparkEntry {
     // top-3 TF-IDF terms per document (smoothed idf, term-asc ties)
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(s.read.parquet(t(d, "documents")), "doc_id", "text")),
+    // Gopher-rules keep/drop verdict; the synthetic corpus is uniformly
+    // clean, so docs 0-3 are planted (mirrored in the oracle) to trip each
+    // rule: word count, mean word length, symbol ratio, alpha fraction
+    "q_gopher" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      val planted = docs.withColumn("text",
+        when(col("doc_id") === 0, lit("tiny doc here"))
+          .when(col("doc_id") === 1, repeat(lit("the of and to in is on for with a "), 6))
+          .when(col("doc_id") === 2, repeat(lit("data point # value ... "), 15))
+          .when(col("doc_id") === 3, repeat(lit("12345 67890 24680 13579 99999 "), 12))
+          .otherwise(col("text")))
+      TextAnalysis.gopherFilter(planted, "doc_id", "text")
+    }),
     // the synthetic corpus carries no PII, so plant deterministic email /
     // ipv4 / phone literals on docs 0-9 (mirrored in the oracle SQL) —
     // the operator must count exactly those
@@ -712,6 +725,53 @@ object SparkEntry {
         |  + ln((n - df2 + 0.5::DOUBLE) / (df2 + 0.5::DOUBLE) + 1.0::DOUBLE) * (tf2 * (1.2::DOUBLE + 1.0::DOUBLE)) / (tf2 + ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl / avgdl) * 1.2::DOUBLE), 4) AS bm25
         |FROM per, st
         |WHERE tf0 + tf1 + tf2 > 0""".stripMargin,
+    // Gopher rules: all ratio inputs are integer counts, so the boundary
+    // comparisons (awl in [3,10], sym < 0.1, alpha >= 0.8) see identical
+    // doubles on both engines; thresholds compare UNROUNDED values
+    "q_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id = 0 THEN 'tiny doc here'
+        |         WHEN doc_id = 1 THEN repeat('the of and to in is on for with a ', 6)
+        |         WHEN doc_id = 2 THEN repeat('data point # value ... ', 15)
+        |         WHEN doc_id = 3 THEN repeat('12345 67890 24680 13579 99999 ', 12)
+        |         ELSE coalesce(text, '') END AS t
+        |  FROM documents
+        |), w AS (
+        |  SELECT id, t,
+        |    list_filter(regexp_split_to_array(lower(t), '\s+'), x -> x <> '') AS ws
+        |  FROM d
+        |), f AS (
+        |  SELECT id,
+        |    len(ws)::BIGINT AS n_words,
+        |    CASE WHEN len(ws) = 0 THEN 0.0::DOUBLE
+        |         ELSE coalesce(list_sum(list_transform(ws, x -> len(x))), 0)::DOUBLE / len(ws) END AS awl,
+        |    CASE WHEN len(ws) = 0 THEN 0.0::DOUBLE
+        |         ELSE (length(regexp_extract_all(t, '#')) + length(regexp_extract_all(t, '\.\.\.')))::DOUBLE / len(ws) END AS sym_ratio,
+        |    CASE WHEN len(ws) = 0 THEN 0.0::DOUBLE
+        |         ELSE len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(ws) END AS alpha_frac,
+        |    (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'in') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'is') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'on') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'for') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)::BIGINT AS n_stop
+        |  FROM w
+        |)
+        |SELECT id, n_words,
+        |  round(awl, 4) AS avg_word_len,
+        |  round(sym_ratio, 4) AS symbol_ratio,
+        |  round(alpha_frac, 4) AS alpha_frac,
+        |  n_stop AS n_stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND awl >= 3.0::DOUBLE AND awl <= 10.0::DOUBLE
+        |   AND sym_ratio < 0.1::DOUBLE AND alpha_frac >= 0.8::DOUBLE
+        |   AND n_stop >= 2) AS keep
+        |FROM f""".stripMargin,
     // smoothed TF-IDF top-3; rank order is FP-safe: integer tf/df/N make
     // both engines compute bit-identical double scores, ties term-asc
     "q_tfidf" ->

@@ -179,6 +179,54 @@ object TextAnalysis {
           .as("dup_gram_frac"))
   }
 
+  /** Gopher-style quality-filter verdict (Rae et al. 2021, arXiv:2112.11446
+    * Appendix A, the subset expressible without a language model): per
+    * document, the rule flags AND the final keep decision —
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' or '...') < 0.1
+    *   - >= 80% of words contain an alphabetic character
+    *   - at least 2 distinct stopwords present
+    * Unlike [[quality]] (which reports features), this is the DECISION
+    * operator a curation pipeline runs before export.
+    *
+    * 100 TB shape: a single narrow codegen projection — no UDF, no
+    * shuffle, filter-pushdown friendly. Every rule input is an integer
+    * count, so the ratio doubles (and the boundary comparisons) are
+    * bit-identical across partitionings and vs the DuckDB oracle.
+    * Returns (id, n_words, avg_word_len, symbol_ratio, alpha_frac,
+    * n_stop_hits, keep); ratios rounded to 4 for reporting, thresholds
+    * compared on the unrounded values. */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = filter(split(lower(t), "\\s+"), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(transform(words, w => length(w)), lit(0L),
+      (acc, x) => acc + x)
+    val awl = when(nWords === 0, lit(0.0))
+      .otherwise(sumLen.cast("double") / nWords)
+    val nSym = (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("long")
+    val symRatio = when(nWords === 0, lit(0.0))
+      .otherwise(nSym.cast("double") / nWords)
+    val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(nAlpha.cast("double") / nWords)
+    val nStop = Stopwords.map(sw =>
+      when(array_contains(words, sw), 1L).otherwise(0L)).reduce(_ + _)
+    val keep = nWords >= minWords && nWords <= maxWords &&
+      awl >= 3.0 && awl <= 10.0 &&
+      symRatio < 0.1 && alphaFrac >= 0.8 && nStop >= 2L
+    df.select(
+      col(idCol).as("id"),
+      nWords.as("n_words"),
+      round(awl, 4).as("avg_word_len"),
+      round(symRatio, 4).as("symbol_ratio"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      nStop.as("n_stop_hits"),
+      keep.as("keep"))
+  }
+
   /** Top-k TF-IDF terms per document — the keyword/topic fingerprint a
     * curation pipeline uses for corpus exploration and domain labeling.
     * score(t, D) = tf(t, D) * ln((N + 1) / (df_t + 1)) (add-one smoothed

@@ -387,6 +387,34 @@ class OpsSpec extends SparkSpec {
     expFx.foreach { case (id, s) => assert(math.abs(gotFx(id) - s) <= 1e-4 + 1e-9) }
   }
 
+  test("gopher filter: each rule trips on its designed degenerate doc") {
+    val good = ("the data and table are good to scan for insight with care " * 5).trim
+    val d = Seq(
+      (0L, good),                                          // keep
+      (1L, "tiny doc here"),                               // word count < 50
+      (2L, ("the of and to in is on for with a " * 6).trim),   // awl 2.4 < 3
+      (3L, ("data point # value ... " * 15).trim),         // symbols 0.4 >= 0.1
+      (4L, ("12345 67890 24680 13579 99999 " * 12).trim),  // alpha 0 < 0.8
+      (5L, null.asInstanceOf[String])                      // empty: everything 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got(0L).getAs[Boolean]("keep"))
+    assert(got(0L).getAs[Long]("n_words") === 60L)
+    assert(got(0L).getAs[Long]("n_stop_hits") === 5L)
+    assert(!got(1L).getAs[Boolean]("keep"))
+    assert(got(1L).getAs[Long]("n_words") === 3L)
+    assert(!got(2L).getAs[Boolean]("keep"))
+    assert(got(2L).getAs[Double]("avg_word_len") === 2.4)
+    assert(!got(3L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Double]("symbol_ratio") === 0.4)
+    assert(!got(4L).getAs[Boolean]("keep"))
+    assert(got(4L).getAs[Double]("alpha_frac") === 0.0)
+    assert(!got(5L).getAs[Boolean]("keep"))
+    assert(got(5L).getAs[Long]("n_words") === 0L)
+    assert(got(5L).getAs[Double]("avg_word_len") === 0.0)
+  }
+
   test("tfidf top terms: matches a driver-side reference on the fixture corpus") {
     val k = 3
     val corpus = docs.select("doc_id", "text").collect()
