@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Corpus
 import graft.extract.DeterministicExtractor
-import graft.ops.{Dedup, Events, Importance, Packing, Ranking, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Importance, LangModel, Packing, Ranking, Similarity, TextAnalysis}
 import graft.pipeline.BuildPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -283,6 +283,13 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(s.read.parquet(t(d, "documents")),
         "doc_id", "source",
         rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))),
+    // CCNet-analog bigram-LM perplexity: model trained on the src0 slice,
+    // every document scored under add-one smoothing with <unk> OOV mapping
+    "q_lm_ppl" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      LangModel.bigramPerplexity(docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text")
+    }),
     // DSIR importance weights: target distribution = the src0 slice,
     // raw = the whole corpus; hashed-token bucket models, Laplace(+1),
     // per-doc sum of log ratios — deterministic and fully SQL-replayable
@@ -860,6 +867,50 @@ object SparkEntry {
     // hex chars as an integer mod 256 (Spark conv(...,16,10) == DuckDB
     // CAST('0x'|| AS BIGINT)); Laplace(+1) bucket models; weight = sum of
     // ln-prob ratios over the doc's token occurrences
+    // bigram LM: integer counts feed every ln (DSIR-proven FP form
+    // ln(cb+1) - ln(cu + (V+1))); vocab = distinct w2 of train pairs
+    // (the <s> prepend makes each real token a w2 exactly once)
+    "q_lm_ppl" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    list_prepend('<s>', list_filter(
+        |      regexp_split_to_array(lower(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '')) AS ws
+        |  FROM documents
+        |), tp AS (
+        |  SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(ws)), i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS p
+        |    FROM tok)
+        |), vocab AS (
+        |  SELECT DISTINCT w2 AS w FROM tp WHERE source = 'src0'
+        |), vs AS (SELECT count(*) AS v FROM vocab),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM tp WHERE source = 'src0' GROUP BY 1, 2),
+        |cc AS (SELECT w1, count(*) AS cu FROM tp WHERE source = 'src0' GROUP BY 1),
+        |sp AS (
+        |  SELECT tp.doc_id,
+        |    CASE WHEN tp.w1 = '<s>' OR v1.w IS NOT NULL THEN tp.w1 ELSE '<unk>' END AS m1,
+        |    CASE WHEN v2.w IS NOT NULL THEN tp.w2 ELSE '<unk>' END AS m2,
+        |    CASE WHEN v2.w IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tp
+        |  LEFT JOIN vocab v1 ON tp.w1 = v1.w
+        |  LEFT JOIN vocab v2 ON tp.w2 = v2.w
+        |), sc AS (
+        |  SELECT sp.doc_id, count(*)::BIGINT AS n, sum(oov)::BIGINT AS n_oov,
+        |    sum(ln(coalesce(bc.cb, 0) + 1.0::DOUBLE)
+        |      - ln(coalesce(cc.cu, 0)::DOUBLE + (vs.v + 1)::DOUBLE * 1.0::DOUBLE)) AS s
+        |  FROM sp
+        |  LEFT JOIN bc ON sp.m1 = bc.w1 AND sp.m2 = bc.w2
+        |  LEFT JOIN cc ON sp.m1 = cc.w1
+        |  CROSS JOIN vs
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id AS id,
+        |  coalesce(sc.n, 0)::BIGINT AS n_tokens,
+        |  coalesce(sc.n_oov, 0)::BIGINT AS n_oov,
+        |  round(coalesce(sc.s / sc.n, 0.0::DOUBLE), 4) AS avg_logprob,
+        |  round(coalesce(exp(-(sc.s / sc.n)), 0.0::DOUBLE), 4) AS ppl
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "q_dsir_weights" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(

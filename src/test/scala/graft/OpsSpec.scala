@@ -415,6 +415,73 @@ class OpsSpec extends SparkSpec {
     assert(got(5L).getAs[Double]("avg_word_len") === 0.0)
   }
 
+  test("bigram perplexity: matches a driver-side reference LM on the fixture corpus") {
+    import graft.ops.LangModel
+    val rows = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getString(2)))
+    def toks(t: String): Array[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ").filter(_.nonEmpty)
+    def prs(t: String): Array[(String, String)] = {
+      val ws = "<s>" +: toks(t)
+      ws.zip(ws.drop(1))
+    }
+    val train = rows.filter(_._3 == "src0")
+    assert(train.nonEmpty, "fixture must contain the src0 train slice")
+    val bc = train.flatMap(r => prs(r._2)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cc = train.flatMap(r => prs(r._2).map(_._1)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val vocab = train.flatMap(r => toks(r._2)).toSet
+    val vPlus1 = (vocab.size + 1).toDouble
+    val exp = rows.map { case (id, t, _) =>
+      val mapped = prs(t).map { case (w1, w2) =>
+        (if (w1 == "<s>" || vocab(w1)) w1 else "<unk>",
+          if (vocab(w2)) w2 else "<unk>")
+      }
+      val nOov = prs(t).count(p => !vocab(p._2)).toLong
+      val lp = mapped.map { case p =>
+        math.log(bc.getOrElse(p, 0L) + 1.0) - math.log(cc.getOrElse(p._1, 0L).toDouble + vPlus1)
+      }.sum
+      val n = mapped.length.toLong
+      id -> ((n, nOov, if (n == 0) 0.0 else lp / n))
+    }.toMap
+    val docsDf = docs.select("doc_id", "text", "source")
+    val got = LangModel.bigramPerplexity(docsDf, "doc_id", "text",
+        docsDf.filter(col("source") === "src0"), "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("avg_logprob"), r.getAs[Double]("ppl")))).toMap
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (id, (n, nOov, avg)) =>
+      val (gn, go, ga, gp) = got(id)
+      assert(gn === n, s"n_tokens for doc $id")
+      assert(go === nOov, s"n_oov for doc $id")
+      assert(math.abs(ga - avg) <= 1e-4 + 1e-9, s"avg_logprob for doc $id")
+      val eppl = if (n == 0) 0.0 else math.exp(-avg)
+      assert(math.abs(gp - eppl) <= math.abs(eppl) * 1e-6 + 1e-4, s"ppl for doc $id")
+    }
+    // in-vocab train docs must score better (less perplex) than OOV-heavy ones
+    val trainIds = train.map(_._1).toSet
+    val trainMed = got.filter(kv => trainIds(kv._1)).values.map(_._4).toSeq.sorted
+    val restMed = got.filterNot(kv => trainIds(kv._1) || got(kv._1)._1 == 0L).values.map(_._4).toSeq.sorted
+    assert(trainMed(trainMed.size / 2) < restMed(restMed.size / 2))
+  }
+
+  test("bigram perplexity: empty and all-OOV docs behave at the boundary") {
+    val tr = Seq((100L, "the graph engine builds the graph", "src0")).toDF("doc_id", "text", "source")
+    val d = Seq(
+      (0L, "the graph engine builds the graph"), // pure in-vocab
+      (1L, "zzz qqq www"),                       // every token OOV
+      (2L, null.asInstanceOf[String])            // empty
+    ).toDF("doc_id", "text")
+    val got = graft.ops.LangModel.bigramPerplexity(d, "doc_id", "text", tr, "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got(0L).getAs[Long]("n_oov") === 0L)
+    assert(got(1L).getAs[Long]("n_oov") === 3L)
+    assert(got(1L).getAs[Long]("n_tokens") === 3L)
+    assert(got(2L).getAs[Long]("n_tokens") === 0L)
+    assert(got(2L).getAs[Double]("ppl") === 0.0)
+    assert(got(0L).getAs[Double]("ppl") < got(1L).getAs[Double]("ppl"))
+  }
+
   test("tfidf top terms: matches a driver-side reference on the fixture corpus") {
     val k = 3
     val corpus = docs.select("doc_id", "text").collect()
