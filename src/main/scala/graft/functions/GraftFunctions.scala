@@ -38,7 +38,11 @@ object GraftFunctions {
     composed("estimate_tokens", 1)(cs => TextFns.estimateTokensCol(cs.head)),
     composed("non_alpha_ratio", 1)(cs => TextFns.nonAlphaRatioCol(cs.head)),
     // whitespace-normalized lowercase md5 — the exact-dedup identity
-    composed("doc_fingerprint", 1)(cs => TextFns.fingerprintCol(cs.head)))
+    composed("doc_fingerprint", 1)(cs => TextFns.fingerprintCol(cs.head)),
+    (FunctionIdentifier(SpanHashes.functionName),
+      SpanHashes.info, SpanHashes.builder),
+    (FunctionIdentifier(WordGramsFn.functionName),
+      WordGramsFn.info, WordGramsFn.builder))
 
   /** Register every function on a live session (tests / notebooks). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, b) =>

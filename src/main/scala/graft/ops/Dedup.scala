@@ -259,9 +259,9 @@ object Dedup {
     * bounded-memory streaming approximation). Documents with fewer than k
     * tokens emit no row (they have no window).
     *
-    * 100 TB shape: the text is scanned ONCE — windows are built by codegen
-    * higher-order functions (sequence/transform/slice) and immediately
-    * md5-hashed, so everything after the scan ships 16-byte hashes, never
+    * 100 TB shape: the text is scanned ONCE — all window hashes come out
+    * of one native-expression pass ([[graft.functions.SpanHashes]]), so
+    * everything after the scan ships 8-byte longs, never
     * span text. Three partial-agg-friendly hash shuffles: per-(id, window)
     * multiplicities, per-window corpus totals (slim (h, m) rows), and the
     * per-doc rollup of the joined result. A boilerplate span hot in
@@ -271,16 +271,14 @@ object Dedup {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 20): DataFrame = {
     require(k >= 1, s"window size must be >= 1, got $k")
-    val words = filter(split(lower(regexp_replace(col("_t"),
-      "[^a-zA-Z0-9]+", " ")), " "), w => w =!= "")
-    // sequence(1, 0) would DESCEND ([1, 0]) rather than emit an empty
-    // range — guard short docs to an empty array (same as repetition)
-    val wins = when(size(words) >= k,
-        transform(sequence(lit(1), size(words) - lit(k - 1)),
-          i => md5(concat_ws(" ", slice(words, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    // window hashing is a native expression (functions/SpanHashesExpr):
+    // one compiled pass per document. The first cut built windows with
+    // nested HOFs (transform(sequence) x aggregate(slice)) — those run
+    // INTERPRETED per element with boxing, and profiling at sf0.1 showed
+    // the whole 23 s query wall was that expression, not the shuffles
     val per = df.select(col(idCol).as("id"), col(textCol).as("_t"))
-      .select(col("id"), explode(wins).as("h"))
+      .select(col("id"),
+        explode(graft.functions.SpanHashes(coalesce(col("_t"), lit("")), k)).as("h"))
       .groupBy("id", "h").agg(count(lit(1)).as("m"))
     val cnt = per.groupBy("h").agg(sum("m").as("c"))
     per.join(cnt, Seq("h"))

@@ -150,20 +150,18 @@ object TextAnalysis {
     * aggregations (HashPartitioning(id) clusters (id, gram) too): the
     * grams explode, count, and roll up entirely partition-locally, and no
     * key can be hotter than one document's gram set. The n-gram array
-    * itself is built by codegen higher-order functions
-    * (sequence/transform/slice), no UDF. */
+    * itself comes out of one native-expression pass
+    * ([[graft.functions.WordGrams]]), no UDF. */
   def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val words = filter(split(lower(col("_t")), "\\s+"), w => w =!= "")
-    // sequence(1, size-n+1) guarded: sequence(1, 0) would DESCEND ([1, 0])
-    // rather than produce an empty range, so short docs get array() instead
-    val grams = when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - lit(n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // gram construction is a native expression (functions/WordGramsExpr):
+    // one compiled pass per document — the nested-HOF form it replaced
+    // (transform(sequence) x concat_ws(slice)) evaluated interpreted per
+    // gram and dominated the query's wall at sf0.1
     val cnt = df.select(col(idCol).as("id"), col(textCol).as("_t"))
       .repartition(col("id"))
-      .select(col("id"), explode(grams).as("gram"))
+      .select(col("id"),
+        explode(graft.functions.WordGramsFn(coalesce(col("_t"), lit("")), n)).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("c"))
     cnt.groupBy("id").agg(
       sum("c").as("n_grams"),

@@ -38,6 +38,40 @@ class TokenSetRatioExprSpec extends SparkSpec {
     got.foreach { case (t, v) => assert(v.toSeq === TextFns.embed(t).toSeq, t) }
   }
 
+  test("SpanHashes equals the composed-HOF window hashing it replaced (grouping-equivalent)") {
+    // the expression's job is GROUPING: two windows hash equal iff their
+    // k-token strings are equal — check against driver-side string windows
+    val texts = Seq("A, b c! d e", "a b c x y", "p q r p q r p q", "s t", "", "  ,,  ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val got = df.select(col("id"), graft.functions.SpanHashes(col("t"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def windows(t: String): Seq[String] =
+      t.replaceAll("[^a-zA-Z0-9]+", " ").toLowerCase.split(" ").filter(_.nonEmpty)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)))
+    // same count per doc, and hash equality == string equality across ALL windows
+    val pairs = rows.flatMap { case (id, t) => windows(t).zip(got(id)) }
+    assert(rows.forall { case (id, t) => windows(t).size == got(id).size })
+    for ((s1, h1) <- pairs; (s2, h2) <- pairs)
+      assert((s1 == s2) === (h1 == h2), s"'$s1' vs '$s2'")
+  }
+
+  test("WordGrams equals the composed-builtin gram construction it replaced") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = df.select(col("doc_id"),
+        graft.functions.WordGramsFn(coalesce(col("text"), lit("")), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val composed = df.select(col("doc_id"), {
+        val words = filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"), w => w =!= "")
+        when(size(words) >= 2,
+          transform(sequence(lit(1), size(words) - lit(1)),
+            i => concat_ws(" ", slice(words, i, lit(2)))))
+          .otherwise(array().cast("array<string>"))
+      }.as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native === composed)
+  }
+
   test("SQL registration via function registry / extensions builder") {
     TokenSetRatio.register(spark)
     val r = spark.sql(
