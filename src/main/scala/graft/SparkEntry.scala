@@ -229,6 +229,10 @@ object SparkEntry {
     // 20-token windows whose hash occurs >= 2 times corpus-wide
     "q_dup_spans" -> ((s, d) =>
       Dedup.dupSpanStats(s.read.parquet(t(d, "documents")), "doc_id", "text")),
+    // Lee-et-al span-level dedup REMOVAL: drop every non-first occurrence
+    // of a corpus-duplicated 20-token window, re-emit the kept tokens
+    "q_dupspan_removal" -> ((s, d) =>
+      Dedup.dupSpanRemoval(s.read.parquet(t(d, "documents")), "doc_id", "text")),
     // BM25 keyword retrieval against a fixed term query (the lexical
     // companion to the ANN search path)
     "q_bm25" -> ((s, d) =>
@@ -701,6 +705,33 @@ object SparkEntry {
         |  round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_span_frac
         |FROM wins JOIN cnt USING (h)
         |GROUP BY id""".stripMargin,
+    // Same tokenization/windows as q_dup_spans; survivor of each duplicated
+    // window = first occurrence by (id, pos) — rn=1 in the window below,
+    // matching Spark's min(struct(id, pos)). Coverage/interval union is the
+    // per-token indexed-lambda filter.
+    "q_dupspan_removal" ->
+      """WITH w AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), idx AS (
+        |  SELECT id, toks, unnest(generate_series(1, len(toks) - 19)) AS i
+        |  FROM w WHERE len(toks) >= 20
+        |), occ AS (
+        |  SELECT id, i - 1 AS pos,
+        |    row_number() OVER (PARTITION BY array_to_string(toks[i:i+19], ' ') ORDER BY id, i) AS rn
+        |  FROM idx
+        |), rem AS (
+        |  SELECT id, list(pos ORDER BY pos) AS ps FROM occ WHERE rn > 1 GROUP BY id
+        |), kept AS (
+        |  SELECT w.id, w.toks,
+        |    list_filter(w.toks, (x, ti) -> len(list_filter(coalesce(rem.ps, []::BIGINT[]), p -> (ti - 1) >= p AND (ti - 1) < p + 20)) = 0) AS kt
+        |  FROM w LEFT JOIN rem USING (id)
+        |)
+        |SELECT id, len(toks)::BIGINT AS n_tokens,
+        |  (len(toks) - len(kt))::BIGINT AS n_removed,
+        |  coalesce(array_to_string(kt, ' '), '') AS text_deduped
+        |FROM kept""".stripMargin,
     // BM25 (Lucene +1-inside-log idf), k1=1.2 b=0.75, terms spark/query/join.
     // FP parity: doc lengths / tfs / dfs are integers (exact in double any
     // partitioning), the per-term formula is written with identical

@@ -289,6 +289,80 @@ object Dedup {
         round(col("n_dup_windows") / col("n_windows"), 4))
   }
 
+  /** Per-doc rebuild for [[dupSpanRemoval]]: re-tokenize (the dedup
+    * family's contract, same compiled code the window hashes came from),
+    * mark every token covered by a removed window start, emit the kept
+    * tokens re-joined with single spaces. A UDF is fine here — it runs
+    * ONCE per document on already-aggregated slim inputs, not per window
+    * in a hot loop, and it returns a struct (n_tokens, n_removed, text),
+    * which built-ins can't assemble without re-tokenizing three times. */
+  private val dropSpansUdf = udf((text: String, k: Int, starts: Seq[Int]) => {
+    val ws = graft.functions.SpanHash.tokens(if (text == null) "" else text)
+    val covered = new Array[Boolean](ws.length)
+    if (starts != null) starts.foreach { s =>
+      var i = s
+      val end = math.min(s + k, ws.length)
+      while (i < end) { covered(i) = true; i += 1 }
+    }
+    val kept = new java.lang.StringBuilder
+    var removed = 0L
+    var i = 0
+    while (i < ws.length) {
+      if (covered(i)) removed += 1
+      else {
+        if (kept.length > 0) kept.append(' ')
+        kept.append(ws(i))
+      }
+      i += 1
+    }
+    (ws.length.toLong, removed, kept.toString)
+  })
+
+  /** Cross-document duplicated-span REMOVAL — the dedup step of Lee et al.
+    * 2022 (arXiv:2107.06499) that [[dupSpanStats]] only measures: every
+    * k-token window whose hash occurs at least twice corpus-wide keeps
+    * exactly ONE occurrence (the globally first by (id, pos)); tokens
+    * covered by every other occurrence are dropped and the document is
+    * re-emitted without them. Fixed-k windows are the bounded-memory
+    * approximation of the paper's suffix-array arbitrary-length repeats;
+    * overlapping removed windows merge naturally through the coverage
+    * bitmap. Output: one row per input document —
+    * (id, n_tokens, n_removed, text_deduped), where `text_deduped` is the
+    * kept tokens of the NORMALIZED stream (lowercased alnum words)
+    * rejoined with spaces.
+    *
+    * 100 TB shape: one native-expression scan produces all window hashes
+    * ([[graft.functions.SpanHashes]]); everything after ships 8-byte
+    * longs + int positions, never span text. The survivor is
+    * `min(struct(id, pos))` under a groupBy — partial-aggregation
+    * collapses each hot boilerplate hash to one row per map task (no
+    * window-function-over-hot-key stage); the only skewable stage is the
+    * (h)-keyed rejoin, which AQE skew-split handles, and its output is
+    * immediately re-keyed by doc id (bounded per-doc fan-in). The rebuild
+    * runs once per document over its own text. */
+  def dupSpanRemoval(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 20): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val base = df.select(col(idCol).as("id"),
+      coalesce(col(textCol), lit("")).as("_t"))
+    val pos = base
+      .select(col("id"), posexplode(graft.functions.SpanHashes(col("_t"), k)))
+      .toDF("id", "pos", "h")
+    val surv = pos.groupBy("h")
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("surv"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("surv"))
+    val removedStarts = pos.join(surv, Seq("h"))
+      .filter(!(col("id") === col("surv").getField("id") &&
+        col("pos") === col("surv").getField("pos")))
+      .groupBy("id").agg(collect_list(col("pos")).as("starts"))
+    base.join(removedStarts, Seq("id"), "left")
+      .withColumn("r", dropSpansUdf(col("_t"), lit(k), col("starts")))
+      .select(col("id"), col("r").getField("_1").as("n_tokens"),
+        col("r").getField("_2").as("n_removed"),
+        col("r").getField("_3").as("text_deduped"))
+  }
+
   /** Cluster-scoped embedding near-dup pairs — the candidate stage of
     * SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): every vector is assigned to its nearest centroid

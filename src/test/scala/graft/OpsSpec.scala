@@ -343,6 +343,51 @@ class OpsSpec extends SparkSpec {
     assert(fixture === expected)
   }
 
+  test("dupSpanRemoval: keeps the first occurrence, drops the rest, covers every doc") {
+    val d = Seq(
+      (1L, "a b c d e f"),     // windows(k=3) incl "a b c" — FIRST occurrence, kept
+      (2L, "x a b c y"),       // "a b c" again — its 3 tokens removed
+      (3L, "s t")              // < 3 tokens: no windows, emitted unchanged
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanRemoval(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_deduped")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((6L, 0L, "a b c d e f")))
+    assert(got(2L) === ((5L, 3L, "x y")))
+    assert(got(3L) === ((2L, 0L, "s t")))
+
+    // brute-force cross-check on the fixture corpus at the entry's k: an
+    // independent sequential implementation of the same semantics (first
+    // occurrence by (id, pos) survives; coverage union removes the rest)
+    val k = 20
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .sortBy(_._1)
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-zA-Z0-9]+").filter(_.nonEmpty) }
+    val counts = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    for ((_, ws) <- toks; s <- 0 to ws.length - k)
+      counts(ws.slice(s, s + k).mkString(" ")) += 1
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = toks.map { case (id, ws) =>
+      val covered = Array.fill(ws.length)(false)
+      for (s <- 0 to ws.length - k) {
+        val w = ws.slice(s, s + k).mkString(" ")
+        if (counts(w) >= 2 && !seen.add(w))
+          (s until math.min(s + k, ws.length)).foreach(covered(_) = true)
+      }
+      val kept = ws.zip(covered).collect { case (t, false) => t }
+      id -> ((ws.length.toLong, covered.count(identity).toLong, kept.mkString(" ")))
+    }.toMap
+    val fixture = Dedup.dupSpanRemoval(docs, "doc_id", "text", k).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_deduped")))).toMap
+    assert(fixture === expected)
+  }
+
   test("bm25: matches a driver-side reference computation; zero-hit docs drop") {
     val terms = Seq("spark", "query", "join")
     val k1 = 1.2; val b = 0.75
