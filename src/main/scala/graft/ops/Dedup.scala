@@ -348,8 +348,18 @@ object Dedup {
     val pos = base
       .select(col("id"), posexplode(graft.functions.SpanHashes(col("_t"), k)))
       .toDF("id", "pos", "h")
-    val surv = pos.groupBy("h")
-      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("surv"))
+    // two-level survivor aggregation: min over a struct key can't use a
+    // hash aggregate (Spark falls back to sort-based), so the corpus-sized
+    // window stream is first collapsed by a HASH aggregate on (h, id) —
+    // whose composite key also spreads a hot boilerplate hash across the
+    // shuffle by doc — and the struct-min runs only on the collapsed
+    // one-row-per-(window, doc) stream. min(struct(id, first-pos-in-doc))
+    // is exactly the global min (id, pos): the minimal doc's minimal pos.
+    val perDoc = pos.groupBy("h", "id")
+      .agg(min("pos").as("fpos"), count(lit(1)).as("m"))
+    val surv = perDoc.groupBy("h")
+      .agg(sum("m").as("c"),
+        min(struct(col("id"), col("fpos").as("pos"))).as("surv"))
       .filter(col("c") >= 2)
       .select(col("h"), col("surv"))
     val removedStarts = pos.join(surv, Seq("h"))
