@@ -54,15 +54,43 @@ object Dedup {
     * are identical (empty) documents: Jaccard 1, matching the oracle, whose
     * empty docs carry a single ''-shingle — not a 0/0 null that would
     * silently drop the pair. */
-  private def verifyJaccard(cands: DataFrame, sets: DataFrame,
+  private def verifyJaccard(cands0: DataFrame, sets: DataFrame,
                             threshold: Double): DataFrame = {
+    // materialize the (slim) candidate pairs once: they feed the touched-id
+    // projection and the verify join — recomputing them would re-run the
+    // whole candidate-generation subtree per consumer
+    val cands = graft.core.Materialize.stageCut(cands0.select("ida", "idb"))
+    val touched = cands.select(col("ida").as("id"))
+      .union(cands.select(col("idb").as("id"))).distinct()
+    // verification working set: shingle sets for candidate-TOUCHED docs
+    // only — one corpus pass (semi join; AQE broadcasts the tiny touched
+    // side), cached so the ida- and idb-side joins below don't each
+    // re-shingle the full corpus. Bounded by the candidate volume, the
+    // same working set any exact verification must hold.
+    val tsets = graft.core.Materialize.stageCut(
+      sets.join(touched, Seq("id"), "left_semi"))
+    // LOSSLESS size prefilter before the heavy array join: inter <=
+    // min(na, nb) and union >= max(na, nb), so J >= t forces
+    // min(na, nb) >= t * max(na, nb). Candidate pairs are generated from
+    // one shared blocking key and routinely outnumber true pairs 1000:1;
+    // pruning on two cached longs keeps the full shingle ARRAYS (the
+    // dominant shuffle payload — KBs per row vs 16 bytes) off every pair
+    // the size ratio alone refutes. Both-empty pairs pass (0 >= t*0) and
+    // land on the J=1.0 branch, matching the oracle's empty-doc semantics.
+    val sizes = tsets.select(col("id"), size(col("sh")).as("n"))
+    val pruned = cands
+      .join(sizes.select(col("id").as("ida"), col("n").as("na")), Seq("ida"))
+      .join(sizes.select(col("id").as("idb"), col("n").as("nb")), Seq("idb"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+      .select("ida", "idb")
     val inter = size(array_intersect(col("sha"), col("shb")))
     val exact = when(size(col("sha")) === 0 && size(col("shb")) === 0, lit(1.0))
       .otherwise(inter.cast("double") /
         (size(col("sha")) + size(col("shb")) - inter))
-    cands.select("ida", "idb")
-      .join(sets.select(col("id").as("ida"), col("sh").as("sha")), Seq("ida"))
-      .join(sets.select(col("id").as("idb"), col("sh").as("shb")), Seq("idb"))
+    pruned
+      .join(tsets.select(col("id").as("ida"), col("sh").as("sha")), Seq("ida"))
+      .join(tsets.select(col("id").as("idb"), col("sh").as("shb")), Seq("idb"))
       .withColumn("j", exact)
       .filter(col("j") >= threshold)
       .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
@@ -83,17 +111,76 @@ object Dedup {
                         maxShingleDf: Long = 0L): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, k)
     val ex = sets.select(col("id"), explode(col("sh")).as("g"))
-    val blocked =
-      if (maxShingleDf > 0) {
-        val hot = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
-          .filter(col("df_g") > maxShingleDf).select("g")
+    if (maxShingleDf > 0) {
+      // Capped path: candidate generation AND exact verification without
+      // ever shuffling a full shingle array. Shared shingles split by the
+      // global hotness of the shingle (df > cap), and the two halves of
+      // the exact intersection come from different, individually cheap
+      // plans:
+      //   inter(a,b) = |shared non-hot|  (a COUNT on the in-group pair
+      //                join — each shared non-hot shingle contributes
+      //                exactly one row, since per-doc shingle sets are
+      //                distinct)
+      //             + |hotset(a) ∩ hotset(b)|  (per-DOC hot-shingle sets
+      //                are bounded by the doc's own shingle count and are
+      //                tiny in practice — only boilerplate shingles land
+      //                in them)
+      // so J = inter / (na + nb − inter) is exact — same integers the
+      // full-set formulation and the DuckDB oracle produce — while the
+      // heaviest thing any pair-keyed shuffle carries is a count.
+      //
+      // The hot-shingle anti-join MUST precede collect_set: filtering on
+      // size(ids) after collecting would still accumulate a boilerplate
+      // shingle's entire posting list (millions of ids at corpus scale)
+      // in one aggregation buffer before discarding it.
+      val hot = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
+        .filter(col("df_g") > maxShingleDf).select("g")
+      // dup-shingle working set (groups of 2..cap docs), stage-cut because
+      // both sides of the pair join read it; pairs expand through a
+      // posexplode self-join on (group, i < j) — pure codegen, and
+      // position comparison works for any id type
+      val grouped = graft.core.Materialize.stageCut(
         ex.join(broadcast(hot), Seq("g"), "left_anti")
-      } else ex
-    val a = blocked.select(col("g"), col("id").as("ida"))
-    val b = blocked.select(col("g").as("g2"), col("id").as("idb"))
-    val cands = a.join(b, col("g") === col("g2") && col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    verifyJaccard(cands, sets, threshold)
+          .groupBy("g")
+          .agg(sort_array(collect_set(col("id"))).as("ids"))
+          .filter(size(col("ids")) >= 2))
+      val l = grouped.select(col("g"), posexplode(col("ids"))).toDF("g", "i", "ida")
+      val r = grouped.select(col("g").as("g2"), posexplode(col("ids"))).toDF("g2", "j", "idb")
+      val pairRare = l.join(r, col("g") === col("g2") && col("i") < col("j"))
+        .groupBy("ida", "idb").agg(count(lit(1)).as("ir"))
+      // one corpus pass for both per-doc features: full set size and the
+      // doc's (small) hot-shingle set — collect_set skips the nulls the
+      // left join leaves on non-hot shingles, so hsh is [] when none
+      val docFeats = ex
+        .join(broadcast(hot.withColumn("is_hot", lit(true))), Seq("g"), "left")
+        .groupBy("id")
+        .agg(count(lit(1)).as("n"),
+          collect_set(when(col("is_hot"), col("g"))).as("hsh"))
+      // lossless size prune before the hot-set join: inter <= min(na, nb)
+      // and union >= max(na, nb), so J >= t forces min >= t * max
+      val withFeats = pairRare
+        .join(docFeats.select(col("id").as("ida"), col("n").as("na"),
+          col("hsh").as("hsha")), Seq("ida"))
+        .join(docFeats.select(col("id").as("idb"), col("n").as("nb"),
+          col("hsh").as("hshb")), Seq("idb"))
+        .filter(least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+      val inter = (col("ir") +
+        size(array_intersect(col("hsha"), col("hshb")))).cast("double")
+      withFeats
+        .withColumn("j", inter / (col("na") + col("nb") - inter))
+        .filter(col("j") >= threshold)
+        .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
+    } else {
+      // uncapped (oracle-parity mode): group sizes are unbounded, so a
+      // collect_set could blow a single task's memory — keep the blocked
+      // self-join, whose shuffles stream, and verify against full sets
+      val a = ex.select(col("g"), col("id").as("ida"))
+      val b = ex.select(col("g").as("g2"), col("id").as("idb"))
+      val cands = a.join(b, col("g") === col("g2") && col("ida") < col("idb"))
+        .select("ida", "idb").distinct()
+      verifyJaccard(cands, sets, threshold)
+    }
   }
 
   /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
