@@ -362,6 +362,70 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("width"), col("height"), col("checksum"))
     }),
 
+    // ----- S2/F8: PDF layout source + bbox math (sources/PdfLayout.scala) --
+    // F8 — polygon→bbox, order-normalize + page clamp, 300-DPI crop pixels
+    // (reference multi_modal_parser.py:152-165,266-312) over polygons derived
+    // deterministically from events; full DuckDB oracle (pure arithmetic).
+    "q_bbox_crop" -> ((s, d) => {
+      import graft.sources.PdfLayout
+      val base = s.read.parquet(t(d, "events")).select(col("event_id"),
+        ((col("event_id") * 7 % 700) - 20).cast("double").as("x0"),
+        ((col("event_id") * 13 % 850) - 20).cast("double").as("y0"),
+        ((col("event_id") * 7 % 700) - 20 + (col("event_id") * 31 % 300) + 40).cast("double").as("x1"),
+        ((col("event_id") * 13 % 850) - 20 + (col("event_id") * 17 % 200) + 30).cast("double").as("y1"))
+      // polygon vertex order varies by row (reversed x / y runs) so the
+      // swap-normalization path is exercised; %11 rows get a degenerate
+      // 2-point polygon → null bbox (parser returns None under 6 coords)
+      val poly = when(col("event_id") % 11 === 0, array(col("x0"), col("y0")))
+        .when(col("event_id") % 3 === 0,
+          array(col("x1"), col("y0"), col("x0"), col("y0"), col("x0"), col("y1"), col("x1"), col("y1")))
+        .when(col("event_id") % 5 === 0,
+          array(col("x0"), col("y1"), col("x1"), col("y1"), col("x1"), col("y0"), col("x0"), col("y0")))
+        .otherwise(
+          array(col("x0"), col("y0"), col("x1"), col("y0"), col("x1"), col("y1"), col("x0"), col("y1")))
+      val clamped = PdfLayout.clampBbox(
+        PdfLayout.bboxFromPolygon(poly), lit(612.0), lit(792.0))
+      val px = PdfLayout.cropPixels(clamped)
+      base.select(col("event_id"),
+        element_at(clamped, 1).as("bx0"), element_at(clamped, 2).as("by0"),
+        element_at(clamped, 3).as("bx1"), element_at(clamped, 4).as("by1"),
+        element_at(px, 1).as("px0"), element_at(px, 2).as("py0"),
+        element_at(px, 3).as("px1"), element_at(px, 4).as("py1"))
+    }),
+    // S3 — table → markdown visual-element content
+    // (multi_modal_parser.py:93-96,196-228) over cell grids synthesized
+    // deterministically from events; exact string oracle in DuckDB. The
+    // (1,2) cell is deliberately absent → "" in the grid.
+    "q_table_markdown" -> ((s, d) => {
+      import graft.sources.PdfLayout
+      val e = s.read.parquet(t(d, "events")).select(
+        col("event_id"), col("event_type"),
+        col("user_id").cast("string").as("u"),
+        floor(col("value")).cast("long").cast("string").as("v"))
+      val cells = array(
+        struct(lit(0).as("row_index"), lit(0).as("column_index"), lit("metric").as("content")),
+        struct(lit(0).as("row_index"), lit(1).as("column_index"), col("event_type").as("content")),
+        struct(lit(0).as("row_index"), lit(2).as("column_index"), lit("unit").as("content")),
+        struct(lit(1).as("row_index"), lit(0).as("column_index"), col("v").as("content")),
+        struct(lit(1).as("row_index"), lit(1).as("column_index"), col("u").as("content")))
+      e.select(col("event_id"),
+        PdfLayout.tableContent(
+          concat(lit("Table "), col("event_id").cast("string")),
+          lit(2), lit(3), cells).as("content"))
+    }),
+    // S2 — layout tokens → typed segments → canonical spans → chunks: the
+    // full PDF-source path over a deterministic synthetic token table (the
+    // LightGBM classifiers are stubbed; assembly fold gated by PdfLayoutSpec
+    // — rows-only here, like the other pipeline stages)
+    "q_pdf_layout" -> ((s, d) => {
+      import graft.sources.PdfLayout
+      val toks = PdfLayout.syntheticTokens(
+        s.read.parquet(t(d, "documents")).select(col("doc_id"), col("text")))
+      val docRows = PdfLayout.toDocRows(PdfLayout.segments(toks))
+      graft.build.Chunker.chunks(docRows.as[graft.core.DocRow](
+        org.apache.spark.sql.Encoders.product[graft.core.DocRow])).toDF()
+    }),
+
     // ----- KG pipeline stages (synthetic interleaved corpus; gated by the
     // ScalaTest parity suite — rows-only here) -------------------------------
     "kg_chunks" -> ((s, d) => kg(s, d).chunks),
@@ -444,6 +508,42 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // F8 bbox math: same derived rectangles; min/max commutes past the
+    // polygon vertex-order variants, so the oracle needs no CASE on them
+    "q_bbox_crop" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |    CAST((event_id*7 % 700) - 20 AS DOUBLE) AS x0,
+        |    CAST((event_id*13 % 850) - 20 AS DOUBLE) AS y0,
+        |    CAST((event_id*7 % 700) - 20 + (event_id*31 % 300) + 40 AS DOUBLE) AS x1,
+        |    CAST((event_id*13 % 850) - 20 + (event_id*17 % 200) + 30 AS DOUBLE) AS y1
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |         ELSE greatest(0.0, least(least(x0, x1), 612.0)) END AS bx0,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |         ELSE greatest(0.0, least(least(y0, y1), 792.0)) END AS by0,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |         ELSE greatest(0.0, least(greatest(x0, x1), 612.0)) END AS bx1,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |         ELSE greatest(0.0, least(greatest(y0, y1), 792.0)) END AS by1
+        |  FROM b)
+        |SELECT event_id, bx0, by0, bx1, by1,
+        |  CAST(round(bx0*300) AS BIGINT) AS px0, CAST(round(by0*300) AS BIGINT) AS py0,
+        |  CAST(round(bx1*300) AS BIGINT) AS px1, CAST(round(by1*300) AS BIGINT) AS py1
+        |FROM c""".stripMargin,
+    // S3 table→markdown: exact string twin of the grid algorithm on the
+    // same synthesized 2×3 cells (missing (1,2) cell → empty column)
+    "q_table_markdown" ->
+      """SELECT event_id,
+        |  'Table ' || CAST(event_id AS VARCHAR) || chr(10) ||
+        |  '| metric | ' || coalesce(event_type, '') || ' | unit |' || chr(10) ||
+        |  '| --- | --- | --- |' || chr(10) ||
+        |  '| ' || coalesce(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), '') ||
+        |  ' | ' || coalesce(CAST(user_id AS VARCHAR), '') || ' |  |' || chr(10)
+        |    AS content
+        |FROM events""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
