@@ -392,6 +392,30 @@ object SparkEntry {
         element_at(px, 1).as("px0"), element_at(px, 2).as("py0"),
         element_at(px, 3).as("px1"), element_at(px, 4).as("py1"))
     }),
+    // Multimodal resize planning — aspect-fit/never-upscale math over
+    // dimensions derived deterministically from events; exact DuckDB oracle
+    "q_resize_plan" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val dims = s.read.parquet(t(d, "events")).select(col("event_id"),
+        ((col("event_id") * 29 % 4096) + 1).cast("double").as("w"),
+        ((col("event_id") * 37 % 2160) + 1).cast("double").as("h"))
+      dims.select(col("event_id"),
+        Multimodal.resizePlan(col("w"), col("h"), 512, 512).as("r"))
+        .select(col("event_id"), col("r.out_w").as("out_w"), col("r.out_h").as("out_h"))
+    }),
+    // Frame sampling over stub video payloads (every 3rd frame, 32 B/frame;
+    // payload bytes are deterministic — rows-only like q_media_features)
+    "q_media_frames" -> ((s, d) => {
+      import graft.ops.Multimodal
+      val media = Multimodal.payloadFromRef(
+        s.read.parquet(t(d, "documents"))
+          .select(concat(lit("vid://doc-"), col("doc_id"), lit("/clip-0.mp4")).as("media_ref"),
+            col("doc_id").cast("string").as("media_id")),
+        "media_ref")
+      Multimodal.frameSample(media, everyNth = 3)
+        .select(col("media_id"), col("frame_idx"), col("frame_off"),
+          length(col("frame_bytes")).as("frame_len"))
+    }),
     // S3 — table → markdown visual-element content
     // (multi_modal_parser.py:93-96,196-228) over cell grids synthesized
     // deterministically from events; exact string oracle in DuckDB. The
@@ -533,6 +557,16 @@ object SparkEntry {
         |  CAST(round(bx0*300) AS BIGINT) AS px0, CAST(round(by0*300) AS BIGINT) AS py0,
         |  CAST(round(bx1*300) AS BIGINT) AS px1, CAST(round(by1*300) AS BIGINT) AS py1
         |FROM c""".stripMargin,
+    // resize planning: identical IEEE-754 double math both sides
+    "q_resize_plan" ->
+      """WITH d AS (SELECT event_id,
+        |    CAST((event_id*29 % 4096) + 1 AS DOUBLE) AS w,
+        |    CAST((event_id*37 % 2160) + 1 AS DOUBLE) AS h FROM events),
+        |s AS (SELECT event_id, w, h, least(512.0/w, 512.0/h, 1.0) AS sc FROM d)
+        |SELECT event_id,
+        |  greatest(1, CAST(floor(w*sc) AS BIGINT)) AS out_w,
+        |  greatest(1, CAST(floor(h*sc) AS BIGINT)) AS out_h
+        |FROM s""".stripMargin,
     // S3 table→markdown: exact string twin of the grid algorithm on the
     // same synthesized 2×3 cells (missing (1,2) cell → empty column)
     "q_table_markdown" ->

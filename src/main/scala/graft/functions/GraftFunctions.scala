@@ -42,7 +42,16 @@ object GraftFunctions {
     (FunctionIdentifier(SpanHashes.functionName),
       SpanHashes.info, SpanHashes.builder),
     (FunctionIdentifier(WordGramsFn.functionName),
-      WordGramsFn.info, WordGramsFn.builder))
+      WordGramsFn.info, WordGramsFn.builder),
+    // PDF-layout bbox/crop + table→markdown (sources/PdfLayout)
+    composed("bbox_from_polygon", 1)(cs =>
+      graft.sources.PdfLayout.bboxFromPolygon(cs.head)),
+    composed("clamp_bbox", 3)(cs =>
+      graft.sources.PdfLayout.clampBbox(cs(0), cs(1), cs(2))),
+    composed("crop_pixels", 1)(cs =>
+      graft.sources.PdfLayout.cropPixels(cs.head)),
+    composed("table_markdown", 3)(cs =>
+      graft.sources.PdfLayout.tableMarkdown(cs(0), cs(1), cs(2))))
 
   /** Register every function on a live session (tests / notebooks). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, b) =>

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
@@ -60,5 +60,35 @@ object Multimodal {
         MediaFeatures(m.media_id, m.kind, m.payload.length, m.width, m.height, cs, f)
       }
     }
+  }
+
+  /** Resize planning — the pure aspect-fit math a distributed image-resize
+    * stage runs BEFORE touching pixels (the codec apply step is the same
+    * stub seam as [[extractFeatures]]): scale to fit maxW×maxH, never
+    * upscale, floor to integer pixels with a 1-px floor. Pure codegen
+    * column math → a q_resize_plan DuckDB oracle checks it exactly. */
+  def resizePlan(w: Column, h: Column, maxW: Int, maxH: Int): Column = {
+    val s = least(lit(maxW.toDouble) / w, lit(maxH.toDouble) / h, lit(1.0))
+    struct(greatest(lit(1L), floor(w * s).cast("long")).as("out_w"),
+      greatest(lit(1L), floor(h * s).cast("long")).as("out_h"))
+  }
+
+  /** Frame sampling for video-kind media: one output row per sampled
+    * frame, `everyNth` stride over the frame index space (frame count
+    * derived from payload size at `bytesPerFrame`; a real decoder would
+    * read the container header — same stub seam). explode() keeps the
+    * fan-out inside the scan projection: no shuffle, and at 100 TB the
+    * frame rows inherit the parent's partitioning. */
+  def frameSample(media: DataFrame, everyNth: Int, bytesPerFrame: Int = 32): DataFrame = {
+    require(everyNth >= 1 && bytesPerFrame >= 1)
+    val nFrames = floor(length(col("payload")) / bytesPerFrame).cast("long")
+    media.withColumn("frame_idx",
+        explode(when(nFrames > 0,
+          sequence(lit(0L), nFrames - 1, lit(everyNth.toLong))).otherwise(
+          array().cast("array<long>"))))
+      .withColumn("frame_off", col("frame_idx") * bytesPerFrame)
+      .withColumn("frame_bytes",
+        col("payload").substr((col("frame_idx") * bytesPerFrame + 1).cast("int"),
+          lit(bytesPerFrame)))
   }
 }

@@ -40,4 +40,22 @@ class GraftFunctionsSpec extends SparkSpec {
     val err = intercept[Exception](spark.sql("SELECT estimate_tokens('a', 'b')").collect())
     assert(err.getMessage.contains("expects 1 argument"))
   }
+
+  test("PDF-layout SQL functions equal their Column-API twins") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  crop_pixels(clamp_bbox(bbox_from_polygon(
+        |    array(650.0d, -10.0d, 600.0d, -10.0d, 600.0d, 100.0d, 650.0d, 100.0d)),
+        |    612.0d, 792.0d)) AS px,
+        |  bbox_from_polygon(array(1.0d, 2.0d)) AS degenerate,
+        |  table_markdown(2, 2, array(
+        |    named_struct('row_index', 0, 'column_index', 0, 'content', 'a'),
+        |    named_struct('row_index', 0, 'column_index', 1, 'content', 'b'),
+        |    named_struct('row_index', 1, 'column_index', 0, 'content', 'c'))) AS md
+        |""".stripMargin).head()
+    assert(row.getSeq[Long](0) === Seq(180000L, 0L, 183600L, 30000L))
+    assert(row.isNullAt(1))
+    assert(row.getString(2) === "| a | b |\n| --- | --- |\n| c |  |\n")
+  }
 }

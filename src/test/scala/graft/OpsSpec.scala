@@ -158,6 +158,36 @@ class OpsSpec extends SparkSpec {
     assert(feats1.map(_.kind).toSet === Set("image", "table_render"))
   }
 
+  test("multimodal: resize plan aspect-fits and never upscales") {
+    val dims = Seq((1, 1024.0, 768.0), (2, 100.0, 50.0), (3, 4096.0, 16.0),
+      (4, 1.0, 3000.0)).toDF("id", "w", "h")
+    val out = dims.select(col("id"),
+        Multimodal.resizePlan(col("w"), col("h"), 512, 512).as("r"))
+      .select(col("id"), col("r.out_w"), col("r.out_h"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1) === (512L, 384L)) // downscale, aspect kept
+    assert(out(2) === (100L, 50L))  // already fits: unchanged
+    assert(out(3) === (512L, 2L))   // extreme aspect survives
+    assert(out(4) === (1L, 512L))   // 1-px floor on the thin side
+  }
+
+  test("multimodal: frame sampling strides the payload without shuffle") {
+    val refs = Seq("vid://doc-1/clip-0.mp4").toDF("media_ref")
+      .withColumn("media_id", col("media_ref"))
+    val media = Multimodal.payloadFromRef(refs, "media_ref")
+    val nBytes = media.select(length(col("payload"))).head.getInt(0)
+    val frames = Multimodal.frameSample(media, everyNth = 3, bytesPerFrame = 32)
+      .select("frame_idx", "frame_off", "frame_bytes").collect()
+    val expectedIdx = 0L.until(nBytes / 32L).by(3).toSeq
+    assert(frames.map(_.getLong(0)).toSeq === expectedIdx)
+    assert(frames.forall(r => r.getLong(1) === r.getLong(0) * 32))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length === 32))
+    // empty payload → zero frames, no error
+    val none = Multimodal.frameSample(
+      media.withColumn("payload", lit(Array.empty[Byte])), everyNth = 3)
+    assert(none.count() === 0)
+  }
+
   test("quality features sane on corpus text") {
     val q = TextAnalysis.quality(docs, "doc_id", "text").collect()
     assert(q.forall(r => r.getAs[Double]("stopword_ratio") >= 0.0 &&

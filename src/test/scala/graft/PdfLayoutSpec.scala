@@ -117,6 +117,34 @@ class PdfLayoutSpec extends SparkSpec {
     assert(empty === "T\n")
   }
 
+  test("table markdown matches the reference loop on 40 random grids") {
+    // pure twin of multi_modal_parser.py:196-228 (grid fill, last write
+    // wins, header + --- separator, trailing newline per line)
+    def expected(rows: Int, cols: Int, cells: Seq[TableCell]): String = {
+      val grid = Array.fill(rows, cols)("")
+      cells.foreach(c =>
+        if (c.row_index < rows && c.column_index < cols)
+          grid(c.row_index)(c.column_index) = c.content)
+      (Seq(grid(0).toSeq, Seq.fill(cols)("---")) ++ grid.drop(1).map(_.toSeq))
+        .map(r => "| " + r.mkString(" | ") + " |\n").mkString
+    }
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 40).map { i =>
+      val rows = 1 + rnd.nextInt(5)
+      val cols = 1 + rnd.nextInt(4)
+      val cells = Seq.fill(rnd.nextInt(12))(
+        TableCell(rnd.nextInt(rows), rnd.nextInt(cols), s"w${rnd.nextInt(9)}"))
+      (i, rows, cols, cells)
+    }
+    val got = cases.toDF("id", "rows", "cols", "cells")
+      .select(col("id"), PdfLayout.tableMarkdown(col("rows"), col("cols"),
+        col("cells")).as("md"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, rows, cols, cells) =>
+      assert(got(i) === expected(rows, cols, cells), s"case $i ($rows x $cols)")
+    }
+  }
+
   test("synthetic token corpus chunks end-to-end through the standard Chunker") {
     val docs = Seq(
       ("da", ("alpha " * 200).trim), ("db", ("beta " * 120).trim)

@@ -67,6 +67,49 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // layout tokens on a grid: distinct (page, line, slot) → distinct
+  // coordinates, so reading order is unambiguous and permutation-invariance
+  // is a hard property (ties in (top, left) would make stable-sort order
+  // depend on arrival order, which a real extraction never produces for
+  // distinct tokens)
+  private val layoutTokensGen: Gen[List[graft.sources.PdfLayout.LayoutToken]] =
+    for {
+      n <- Gen.chooseNum(1, 50)
+      cells <- Gen.listOfN(n, for {
+        page <- Gen.chooseNum(1, 3)
+        line <- Gen.chooseNum(0, 9)
+        slot <- Gen.chooseNum(0, 7)
+        w <- word
+        bold <- Gen.frequency(4 -> false, 1 -> true)
+      } yield ((page, line, slot), (w, bold)))
+    } yield cells.toMap.toList.map { case ((page, line, slot), (w, bold)) =>
+      graft.sources.PdfLayout.LayoutToken("d", page, 612, 792,
+        line * 8 + slot, w, 40.0 + slot * 70.0, 60.0 + line * 16.0, 60.0,
+        if (bold) 14.0 else 12.0, if (bold) 14.0 else 10.0, bold)
+    }
+
+  test("layout assembly: token preservation, reading order, permutation independence") {
+    checkProp(Prop.forAll(layoutTokensGen) { toks =>
+      import graft.sources.PdfLayout
+      val segs = PdfLayout.assembleDoc("d", toks.iterator).toVector
+      // every token's text appears in page segments exactly once, in
+      // (top, left) order — nothing lost, nothing duplicated
+      val preserved = toks.groupBy(_.page_number).forall { case (p, pt) =>
+        val expected = pt.sortBy(t => (t.top, t.left)).map(_.text)
+        val got = segs.filter(_.page_number == p).flatMap(_.text.split(" "))
+        got == expected
+      }
+      // segments arrive in page order, and within a page by top
+      val ordered = segs == segs.sortBy(s => (s.page_number, s.top, s.left))
+      // arrival order must not matter
+      val shuffled = new scala.util.Random(11).shuffle(toks)
+      val stable = PdfLayout.assembleDoc("d", shuffled.iterator).toVector == segs
+      // every segment bbox contains all its area: width/height non-negative
+      val boxes = segs.forall(s => s.width >= 0 && s.height >= 0)
+      preserved && ordered && stable && boxes
+    }, tests = 150)
+  }
+
   test("minhash containment: signature minima never increase when the shingle set grows") {
     val multiword = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
     checkProp(Prop.forAll(multiword, multiword) { (a, b) =>
