@@ -76,6 +76,19 @@ object TextFns {
   def fingerprintCol(c: Column): Column =
     md5(regexp_replace(trim(lower(c)), "\\s+", " "))
 
+  /** The dedup-family word tokenization as a COLUMN: non-empty lowercase
+    * alphanumeric runs (split on `[^a-zA-Z0-9]+`). THE canonical column
+    * definition — Importance (DSIR), LangModel (perplexity), Ranking
+    * (BM25), and TextAnalysis.tfidfTopTerms all route here, and every
+    * DuckDB oracle mirrors it verbatim — so cross-operator token identity
+    * can never fork (DSIR and the LM disagreeing on what a token is would
+    * silently skew both signals). Null text yields an empty array. Scala
+    * twin: [[normTokens]] (unsorted form: the `shingles`/`simhash64`
+    * tokenizer), kept charset-identical by construction. */
+  def tokensCol(c: Column): Column =
+    filter(split(lower(regexp_replace(coalesce(c, lit("")),
+      "[^a-zA-Z0-9]+", " ")), " "), t => t =!= "")
+
   // ---------------------------------------------------------------------
   // Fuzzy name matching (reference tools/fuzzy_matcher.py:48-58 —
   // fuzzywuzzy token_set_ratio; we use a Levenshtein-based ratio which is

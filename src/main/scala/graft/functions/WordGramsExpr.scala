@@ -73,9 +73,17 @@ object WordGramsFn {
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.size == 2, s"$functionName expects 2 arguments")
+    // eval() of a foldable expression can be NULL (CAST(NULL AS INT)) or an
+    // out-of-int-range long — both must surface as the same clear argument
+    // error as a non-literal, not a bare NPE/NumberFormatException
     val n = children(1) match {
       case e if e.foldable && (e.dataType == IntegerType || e.dataType == LongType) =>
-        e.eval().toString.toInt
+        e.eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue => l.intValue()
+          case v => throw new IllegalArgumentException(
+            s"$functionName n-gram order must be a non-null int-range literal, got $v")
+        }
       case other => throw new IllegalArgumentException(
         s"$functionName n-gram order must be an integer literal, got $other")
     }

@@ -48,11 +48,34 @@ object DocSources {
 
   /** CSV corpus read with a header line, same quarantine contract as
     * [[jsonl]]. Line-oriented (`from_csv` over text lines), so quoted
-    * embedded newlines are not supported — corpus exports don't use them. */
+    * embedded newlines are not supported — corpus exports don't use them.
+    *
+    * Header skipping is POSITIONAL (the first line of each file), never
+    * content-based: filtering lines that EQUAL the header string would
+    * silently drop any malformed data line that happens to render
+    * identical to it — the exact silent loss the (good, quarantine) split
+    * exists to prevent — and would miss a header differing by a stray CR.
+    * The only positional signal a distributed text scan has is the record
+    * BYTE OFFSET, which the Hadoop text input format exposes and the SQL
+    * text source does not — the one-hop RDD read below is that (the
+    * "unless forced" case; everything downstream is ordinary Catalyst).
+    * `from_csv` over text is used instead of the native csv reader because
+    * the reader's internal corrupt-record column cannot survive column
+    * pruning (counting the quarantine frame fails analysis with
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN, and the documented workaround is
+    * caching the whole read — wrong at 100 TB), while a `from_csv` struct
+    * field is an ordinary column. */
   def csv(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val header = docSchema.fieldNames.mkString(",")
-    split(spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0 && col("value") =!= header)
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val lines = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text])
+      // materialize to String immediately: the record reader REUSES its
+      // Text buffer across records
+      .map { case (off, t) => (off.get(), t.toString) }
+    split(spark.createDataFrame(lines).toDF("off", "value")
+      .filter(col("off") > 0 && length(trim(col("value"))) > 0)
       .select(col("value"),
         from_csv(col("value"), withCorrupt(docSchema), parseOpts).as("d")))
   }

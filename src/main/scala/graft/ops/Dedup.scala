@@ -54,12 +54,19 @@ object Dedup {
     * are identical (empty) documents: Jaccard 1, matching the oracle, whose
     * empty docs carry a single ''-shingle — not a 0/0 null that would
     * silently drop the pair. */
-  private def verifyJaccard(cands0: DataFrame, sets: DataFrame,
-                            threshold: Double): DataFrame = {
+  /** NOTE: constructing the returned DataFrame is EAGER (the candidate
+    * stage materializes at stageCut time) — by design, since both caches
+    * below have two consumers each; plan-only callers (explain dumps)
+    * should prefer the capped ngramJaccard path or accept the compute.
+    * The cleanup thunk frees both caches; lineage is kept, so a
+    * post-cleanup consumer recomputes instead of failing. */
+  private def verifyJaccardHandle(cands0: DataFrame, sets: DataFrame,
+                                  threshold: Double): (DataFrame, () => Unit) = {
     // materialize the (slim) candidate pairs once: they feed the touched-id
     // projection and the verify join — recomputing them would re-run the
     // whole candidate-generation subtree per consumer
-    val cands = graft.core.Materialize.stageCut(cands0.select("ida", "idb"))
+    val (cands, candsRdd) = graft.core.Materialize.stageCutHandle(
+      cands0.select("ida", "idb"))
     val touched = cands.select(col("ida").as("id"))
       .union(cands.select(col("idb").as("id"))).distinct()
     // verification working set: shingle sets for candidate-TOUCHED docs
@@ -67,7 +74,7 @@ object Dedup {
     // side), cached so the ida- and idb-side joins below don't each
     // re-shingle the full corpus. Bounded by the candidate volume, the
     // same working set any exact verification must hold.
-    val tsets = graft.core.Materialize.stageCut(
+    val (tsets, tsetsRdd) = graft.core.Materialize.stageCutHandle(
       sets.join(touched, Seq("id"), "left_semi"))
     // LOSSLESS size prefilter before the heavy array join: inter <=
     // min(na, nb) and union >= max(na, nb), so J >= t forces
@@ -88,12 +95,16 @@ object Dedup {
     val exact = when(size(col("sha")) === 0 && size(col("shb")) === 0, lit(1.0))
       .otherwise(inter.cast("double") /
         (size(col("sha")) + size(col("shb")) - inter))
-    pruned
+    val out = pruned
       .join(tsets.select(col("id").as("ida"), col("sh").as("sha")), Seq("ida"))
       .join(tsets.select(col("id").as("idb"), col("sh").as("shb")), Seq("idb"))
       .withColumn("j", exact)
       .filter(col("j") >= threshold)
       .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
+    (out, () => {
+      candsRdd.unpersist(blocking = false)
+      tsetsRdd.unpersist(blocking = false)
+    })
   }
 
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs >= threshold.
@@ -108,7 +119,18 @@ object Dedup {
     * data / oracle-parity mode). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
-                        maxShingleDf: Long = 0L): DataFrame = {
+                        maxShingleDf: Long = 0L): DataFrame =
+    ngramJaccardPairsHandle(df, idCol, textCol, k, threshold, maxShingleDf)._1
+
+  /** [[ngramJaccardPairs]] plus a cleanup thunk for long-lived sessions:
+    * frees the working-set caches (candidate pairs + touched shingle sets
+    * on the uncapped path; the dup-shingle groups on the capped path) once
+    * the caller has consumed the result. Without it each invocation pins
+    * its working set for the session's lifetime; lineage is kept, so a
+    * post-cleanup consumer recomputes instead of failing. */
+  def ngramJaccardPairsHandle(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 3, threshold: Double = 0.8,
+                              maxShingleDf: Long = 0L): (DataFrame, () => Unit) = {
     val sets = shingleSets(df, idCol, textCol, k)
     val ex = sets.select(col("id"), explode(col("sh")).as("g"))
     if (maxShingleDf > 0) {
@@ -139,7 +161,7 @@ object Dedup {
       // both sides of the pair join read it; pairs expand through a
       // posexplode self-join on (group, i < j) — pure codegen, and
       // position comparison works for any id type
-      val grouped = graft.core.Materialize.stageCut(
+      val (grouped, groupedRdd) = graft.core.Materialize.stageCutHandle(
         ex.join(broadcast(hot), Seq("g"), "left_anti")
           .groupBy("g")
           .agg(sort_array(collect_set(col("id"))).as("ids"))
@@ -167,10 +189,11 @@ object Dedup {
           lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
       val inter = (col("ir") +
         size(array_intersect(col("hsha"), col("hshb")))).cast("double")
-      withFeats
+      val out = withFeats
         .withColumn("j", inter / (col("na") + col("nb") - inter))
         .filter(col("j") >= threshold)
         .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
+      (out, () => groupedRdd.unpersist(blocking = false))
     } else {
       // uncapped (oracle-parity mode): group sizes are unbounded, so a
       // collect_set could blow a single task's memory — keep the blocked
@@ -179,7 +202,7 @@ object Dedup {
       val b = ex.select(col("g").as("g2"), col("id").as("idb"))
       val cands = a.join(b, col("g") === col("g2") && col("ida") < col("idb"))
         .select("ida", "idb").distinct()
-      verifyJaccard(cands, sets, threshold)
+      verifyJaccardHandle(cands, sets, threshold)
     }
   }
 
@@ -188,7 +211,14 @@ object Dedup {
     * equi-join → exact verification restricted to candidates. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numPerm: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8): DataFrame =
+    minhashLshPairsHandle(df, idCol, textCol, k, numPerm, bands, threshold)._1
+
+  /** [[minhashLshPairs]] plus a cleanup thunk freeing the verification
+    * working-set caches (same contract as [[ngramJaccardPairsHandle]]). */
+  def minhashLshPairsHandle(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, numPerm: Int = 16, bands: Int = 4,
+                            threshold: Double = 0.8): (DataFrame, () => Unit) = {
     val rows = numPerm / bands
     val sig = df.select(col(idCol).as("id"),
       minhashUdf(col(textCol), lit(k), lit(numPerm)).as("sig"))
@@ -202,7 +232,7 @@ object Dedup {
     val r = withBands.select(col("band").as("band2"), col("bh").as("bh2"), col("id").as("idb"))
     val cands = l.join(r, col("band") === col("band2") && col("bh") === col("bh2") && col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    verifyJaccard(cands, shingleSets(df, idCol, textCol, k), threshold)
+    verifyJaccardHandle(cands, shingleSets(df, idCol, textCol, k), threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash split into `64/bandBits` bands
@@ -258,7 +288,15 @@ object Dedup {
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, threshold: Double = 0.8,
                            maxHamming: Int = 15, bandBits: Int = 4): DataFrame =
-    verifyJaccard(
+    simhashVerifiedPairsHandle(df, idCol, textCol, k, threshold, maxHamming, bandBits)._1
+
+  /** [[simhashVerifiedPairs]] plus a cleanup thunk freeing the verification
+    * working-set caches (same contract as [[ngramJaccardPairsHandle]]). */
+  def simhashVerifiedPairsHandle(df: DataFrame, idCol: String, textCol: String,
+                                 k: Int = 3, threshold: Double = 0.8,
+                                 maxHamming: Int = 15, bandBits: Int = 4)
+      : (DataFrame, () => Unit) =
+    verifyJaccardHandle(
       simhashPairs(df, idCol, textCol, maxHamming, bandBits).select("ida", "idb"),
       shingleSets(df, idCol, textCol, k), threshold)
 

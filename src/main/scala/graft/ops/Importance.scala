@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * to the importance weight (Gumbel top-k trick).
   *
   * 100 TB shape: both bag-of-hashed-token models are ONE aggregation each
-  * whose result is `buckets` rows (a constant, default 256) — the
-  * log-ratio table broadcasts, so scoring is one pass over the exploded
+  * whose result is `buckets` rows (a constant, default 256) — collected to
+  * a local relation, so the target corpus is token-scanned exactly once
+  * and the raw corpus exactly twice (model counts + scoring; caching the
+  * corpus-token-sized (id, bucket) stream to avoid the second scan would
+  * spill ~the corpus to disk — recompute is the cheaper trade at scale).
+  * The log-ratio table broadcasts, scoring is one pass over the exploded
   * token stream with a map-side-combinable per-doc sum, and selection is
-  * a global top-k (TakeOrdered — per-partition heads, no full sort). No
-  * stage ships anything proportional to the corpus except the one
-  * narrow token scan every bag-of-words model needs.
+  * a global top-k (TakeOrdered — per-partition heads, no full sort).
   *
   * Everything is deterministic and oracle-replayable: tokenization is the
   * dedup family's `[^a-zA-Z0-9]+` split, feature hashing is md5-hex mod
@@ -30,10 +32,10 @@ object Importance {
   private def bucketCol(tok: Column, buckets: Int): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % buckets
 
-  /** The dedup family's tokenization, exploded to one row per token. */
+  /** The canonical tokenization ([[graft.functions.TextFns.tokensCol]]),
+    * exploded to one row per token occurrence. */
   private def tokens(textCol: Column): Column =
-    explode(filter(split(lower(regexp_replace(textCol,
-      "[^a-zA-Z0-9]+", " ")), " "), t => t =!= ""))
+    explode(graft.functions.TextFns.tokensCol(textCol))
 
   /** Exploded (id, bucket) token stream. */
   private def tokenBuckets(df: DataFrame, idCol: String, textCol: String,
@@ -42,16 +44,26 @@ object Importance {
       .select(col("id"), bucketCol(col("tok"), buckets).as("b"))
 
   /** Per-bucket ln-probability under Laplace(+1) smoothing: one
-    * `buckets`-row frame (b, lp) — ln((cnt+1)/(total+buckets)). The only
-    * driver-side value is the single total-count row. */
+    * `buckets`-row LOCAL frame (b, lp) — ln((cnt+1)/(total+buckets)).
+    *
+    * The bucket-count aggregate is at most `buckets` rows (a constant
+    * knob, never corpus-proportional), so COLLECTING it is scale-safe and
+    * buys one full token scan: the previous shape kept the counts
+    * distributed and lazily recomputed the tokenize+md5+explode scan once
+    * for the total and again for the ratio join. The ln math stays a
+    * Catalyst column over the same integer counts, so the doubles are
+    * bit-identical to the distributed form (and the DuckDB oracle); all
+    * `buckets` rows exist even when unseen (cnt 0 → smoothed mass). */
   private def logProbs(toks: DataFrame, buckets: Int): DataFrame = {
-    val cnts = toks.groupBy("b").agg(count(lit(1)).as("cnt"))
-    val total = cnts.agg(coalesce(sum("cnt"), lit(0L))).collect()(0).getLong(0)
-    // all `buckets` rows exist even when unseen (cnt 0 → smoothed mass)
-    toks.sparkSession.range(buckets).select(col("id").as("b"))
-      .join(cnts, Seq("b"), "left")
+    val seen = toks.groupBy("b").agg(count(lit(1)).as("cnt")).collect()
+    val arr = new Array[Long](buckets)
+    seen.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    val total = arr.sum // exact: integer counts
+    toks.sparkSession
+      .createDataFrame(arr.toSeq.zipWithIndex.map { case (c, b) => (b.toLong, c) })
+      .toDF("b", "cnt")
       .select(col("b"),
-        log(coalesce(col("cnt"), lit(0L)) + lit(1.0))
+        log(col("cnt") + lit(1.0))
           .minus(log(lit(total.toDouble + buckets))).as("lp"))
   }
 

@@ -39,10 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
-  /** The dedup family's tokenization, as an array (may be empty). */
+  /** The canonical tokenization as an array (may be empty) —
+    * [[graft.functions.TextFns.tokensCol]]. */
   private def tokArr(textCol: Column): Column =
-    filter(split(lower(regexp_replace(coalesce(textCol, lit("")),
-      "[^a-zA-Z0-9]+", " ")), " "), t => t =!= "")
+    graft.functions.TextFns.tokensCol(textCol)
 
   /** One row per bigram occurrence: (id, w1, w2), with `<s>` prepended so
     * every real token occurs as w2 exactly once. sequence() is guarded —
@@ -60,19 +60,37 @@ object LangModel {
 
   /** Per-document perplexity of `df` under a bigram model trained on
     * `train`. Returns (id, n_tokens, n_oov, avg_logprob, ppl), one row
-    * per input document, ratios rounded to 4 decimals. */
+    * per input document, ratios rounded to 4 decimals.
+    *
+    * The bigram-count model table stays cached for the session (it is
+    * vocabulary-sized, the thing worth caching); long-lived sessions use
+    * [[bigramPerplexityHandle]] and free it once the result is consumed. */
   def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
                        train: DataFrame, trainTextCol: String,
-                       addK: Double = 1.0): DataFrame = {
+                       addK: Double = 1.0): DataFrame =
+    bigramPerplexityHandle(df, idCol, textCol, train, trainTextCol, addK)._1
+
+  /** [[bigramPerplexity]] plus a cleanup thunk freeing the one cache it
+    * pins (the bigram-count model table; lineage is kept, so a late
+    * consumer recomputes instead of failing). */
+  def bigramPerplexityHandle(df: DataFrame, idCol: String, textCol: String,
+                             train: DataFrame, trainTextCol: String,
+                             addK: Double = 1.0): (DataFrame, () => Unit) = {
     val tp = pairs(train, trainTextCol, trainTextCol)
       .select("w1", "w2")
-    // every real token occurs as w2 exactly once (thanks to the <s>
-    // prepend), so distinct w2 IS the train vocabulary — one scan, no
-    // separate tokenize pass, and `<s>` can never leak in
-    val vocab = tp.select(col("w2").as("w")).distinct()
+    // ONE train scan: the bigram-count aggregate is materialized
+    // (vocabulary-sized — orders of magnitude smaller than the train
+    // corpus) and every other model table is an exact integer rollup of
+    // it: context counts c(w1) = sum of its bigram counts, and — because
+    // the <s> prepend makes every real token occur as w2 exactly once —
+    // distinct w2 IS the train vocabulary, so `<s>` can never leak in.
+    // The previous shape derived vocab/bc/cc from three independent lazy
+    // scans of the exploded pair stream.
+    val (bc, bcRdd) = graft.core.Materialize.stageCutHandle(
+      tp.groupBy("w1", "w2").agg(count(lit(1)).as("cb")))
+    val vocab = bc.select(col("w2").as("w")).distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
-    val bc = tp.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cc = tp.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val cc = bc.groupBy("w1").agg(sum("cb").as("cu"))
 
     val v1 = vocab.select(col("w").as("w1"), lit(1).as("i1"))
     val v2 = vocab.select(col("w").as("w2"), lit(1).as("i2"))
@@ -98,11 +116,12 @@ object LangModel {
       .agg(count(lit(1)).as("n_tokens"), sum("oov").as("n_oov"),
         sum("lp").as("s"))
 
-    df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+    val out = df.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         round(coalesce(col("s") / col("n_tokens"), lit(0.0)), 4).as("avg_logprob"),
         round(coalesce(exp(-(col("s") / col("n_tokens"))), lit(0.0)), 4).as("ppl"))
+    (out, () => bcRdd.unpersist(blocking = false))
   }
 }

@@ -37,8 +37,7 @@ object Ranking {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(queryTerms.distinct == queryTerms, "duplicate query terms")
-    val words = filter(split(lower(regexp_replace(col(textCol),
-      "[^a-zA-Z0-9]+", " ")), " "), w => w =!= "")
+    val words = graft.functions.TextFns.tokensCol(col(textCol))
     val tfCols = queryTerms.zipWithIndex.map { case (term, i) =>
       size(filter(col("_w"), w => w === lit(term))).cast("long").as(s"_tf$i")
     }

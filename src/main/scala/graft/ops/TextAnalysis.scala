@@ -198,20 +198,34 @@ object TextAnalysis {
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
                    minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    val words = filter(split(lower(t), "\\s+"), w => w =!= "")
-    val nWords = size(words).cast("long")
-    val sumLen = aggregate(transform(words, w => length(w)), lit(0L),
-      (acc, x) => acc + x)
+    val lt = lower(t)
+    // Every rule input is a compiled-regex pass or an array_contains probe
+    // — NO lambda higher-order functions: ArrayFilter/ArrayTransform/
+    // ArrayAggregate run INTERPRETED with per-element boxing (the pattern
+    // profiling showed dominating the repetition/dup-span queries before
+    // their native expressions), while regexp_count/rlike/array_contains
+    // stay inside whole-stage codegen. Equivalences to the word-list form
+    // (word = maximal non-\s run of the lowercased text, the \s+-split
+    // non-empty pieces):
+    //   n_words  == count of \S+ runs
+    //   sum(len) == count of non-\s chars
+    //   n_alpha  == count of runs containing an ascii letter ("\S*[a-z]\S*"
+    //               consumes a whole run per match, so each run counts <= 1)
+    //   stopword membership: empty split pieces can never equal a stopword,
+    //               so the unfiltered split array probes identically
+    val nWords = regexp_count(lt, lit("\\S+")).cast("long")
+    val sumLen = length(regexp_replace(lt, "\\s+", "")).cast("long")
     val awl = when(nWords === 0, lit(0.0))
       .otherwise(sumLen.cast("double") / nWords)
     val nSym = (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("long")
     val symRatio = when(nWords === 0, lit(0.0))
       .otherwise(nSym.cast("double") / nWords)
-    val nAlpha = size(filter(words, w => w.rlike("[a-z]"))).cast("long")
+    val nAlpha = regexp_count(lt, lit("\\S*[a-z]\\S*")).cast("long")
     val alphaFrac = when(nWords === 0, lit(0.0))
       .otherwise(nAlpha.cast("double") / nWords)
+    val rawWords = split(lt, "\\s+")
     val nStop = Stopwords.map(sw =>
-      when(array_contains(words, sw), 1L).otherwise(0L)).reduce(_ + _)
+      when(array_contains(rawWords, sw), 1L).otherwise(0L)).reduce(_ + _)
     val keep = nWords >= minWords && nWords <= maxWords &&
       awl >= 3.0 && awl <= 10.0 &&
       symRatio < 0.1 && alphaFrac >= 0.8 && nStop >= 2L
@@ -243,8 +257,7 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     require(k >= 1, s"top-k must be >= 1, got $k")
-    val words = filter(split(lower(regexp_replace(col("_t"),
-      "[^a-zA-Z0-9]+", " ")), " "), w => w =!= "")
+    val words = TextFns.tokensCol(col("_t"))
     val n1 = broadcast(df.agg(count(lit(1)).as("_n")))
     val tf = df.select(col(idCol).as("id"), col(textCol).as("_t"))
       .repartition(col("id"))
@@ -304,7 +317,10 @@ object TextAnalysis {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val lines = df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("h", md5(regexp_replace(trim(lower(col("line"))), "\\s+", " ")))
+      // the canonical fingerprint identity (TextFns.fingerprintCol) — the
+      // line-level hash MUST be the same definition as the document-level
+      // one or a normalization change silently forks the two surfaces
+      .withColumn("h", TextFns.fingerprintCol(col("line")))
     val hot = lines.select("id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") > maxDf)

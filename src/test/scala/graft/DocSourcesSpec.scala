@@ -46,6 +46,22 @@ class DocSourcesSpec extends SparkSpec {
     assert(bad.collect().head.getAs[String]("raw_record").contains("oops"))
   }
 
+  test("csv: header skipping is positional — a data line equal to the header is quarantined, not dropped") {
+    val path = writeLines(Seq(
+      "doc_id,text,lang,source,n_chars",
+      "1,alpha,en,s0,5",
+      // a malformed mid-file line that happens to equal the header string:
+      // content-based filtering would silently vanish it from BOTH outputs
+      "doc_id,text,lang,source,n_chars",
+      "2,beta,en,s1,4"
+    ), ".csv")
+    val (good, bad) = DocSources.csv(spark, path)
+    assert(good.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    val rawBad = bad.collect().map(_.getAs[String]("raw_record"))
+    assert(rawBad.length === 1, "the header-lookalike line must land in quarantine")
+    assert(rawBad.head.startsWith("doc_id,"))
+  }
+
   test("sharded jsonl export round-trips the fixture corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft-jsonl-out").toString
