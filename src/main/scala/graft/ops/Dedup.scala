@@ -132,8 +132,12 @@ object Dedup {
                               k: Int = 3, threshold: Double = 0.8,
                               maxShingleDf: Long = 0L): (DataFrame, () => Unit) = {
     val sets = shingleSets(df, idCol, textCol, k)
-    val ex = sets.select(col("id"), explode(col("sh")).as("g"))
+    val lazyEx = sets.select(col("id"), explode(col("sh")).as("g"))
     if (maxShingleDf > 0) {
+      // the capped path reads the exploded (id, g) stream THREE times (hot
+      // shingle counts, dup-shingle groups, per-doc features) — cache it
+      // once so the corpus is shingled exactly once, not per consumer
+      val (ex, exRdd) = graft.core.Materialize.stageCutHandle(lazyEx)
       // Capped path: candidate generation AND exact verification without
       // ever shuffling a full shingle array. Shared shingles split by the
       // global hotness of the shingle (df > cap), and the two halves of
@@ -193,13 +197,16 @@ object Dedup {
         .withColumn("j", inter / (col("na") + col("nb") - inter))
         .filter(col("j") >= threshold)
         .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
-      (out, () => groupedRdd.unpersist(blocking = false))
+      (out, () => {
+        groupedRdd.unpersist(blocking = false)
+        exRdd.unpersist(blocking = false)
+      })
     } else {
       // uncapped (oracle-parity mode): group sizes are unbounded, so a
       // collect_set could blow a single task's memory — keep the blocked
       // self-join, whose shuffles stream, and verify against full sets
-      val a = ex.select(col("g"), col("id").as("ida"))
-      val b = ex.select(col("g").as("g2"), col("id").as("idb"))
+      val a = lazyEx.select(col("g"), col("id").as("ida"))
+      val b = lazyEx.select(col("g").as("g2"), col("id").as("idb"))
       val cands = a.join(b, col("g") === col("g2") && col("ida") < col("idb"))
         .select("ida", "idb").distinct()
       verifyJaccardHandle(cands, sets, threshold)
