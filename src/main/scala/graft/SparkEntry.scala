@@ -29,6 +29,20 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
+  /** Synthesized per-document source URL for the domain-curation entries
+    * (the synthetic corpus has no URL column): doc_id % 10 buckets map to
+    * four hosts with uneven shares — 0-5 common, 6-7 alpha, 8 beta,
+    * 9 gamma. Mirrored verbatim in the q_domain_* oracle SQL. */
+  private def srcUrl: org.apache.spark.sql.Column = {
+    val b = pmod(col("doc_id"), lit(10))
+    concat(lit("https://"),
+      when(b <= 5, lit("common.example"))
+        .when(b <= 7, lit("alpha.example"))
+        .when(b === 8, lit("beta.example"))
+        .otherwise(lit("gamma.example")),
+      lit("/p/"), col("doc_id").cast("string"))
+  }
+
   /** Flagship: end-to-end KG build on a small corpus → canonical triples. */
   def entry(spark: SparkSession): DataFrame =
     kg(spark, "/root/testdata/sf0.001").triples
@@ -267,6 +281,35 @@ object SparkEntry {
           .otherwise(col("text")))
       TextAnalysis.piiScan(planted, "doc_id", "text")
     }),
+    // URL scan: the synthetic corpus carries no URLs, so plant
+    // deterministic literals on docs 0-3 exercising dup hosts, quote/angle
+    // termination and a URL-free doc (mirrored in the oracle)
+    "q_url_scan" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      val planted = docs.withColumn("text",
+        when(col("doc_id") === 0, lit("see https://alpha.example/a and " +
+          "http://beta.example/b?q=1 plus https://alpha.example/c"))
+          .when(col("doc_id") === 1, lit("no urls in this document at all"))
+          .when(col("doc_id") === 2, lit("dup https://gamma.example/x " +
+            "https://gamma.example/y trailing https://delta.example/z."))
+          .when(col("doc_id") === 3, lit("quoted \"https://eps.example/q\" " +
+            "and <https://zeta.example/r>"))
+          .otherwise(col("text")))
+      TextAnalysis.urlScan(planted, "doc_id", "text")
+    }),
+    // per-host corpus composition over a synthesized source-URL column
+    // (doc_id % 10 buckets -> 4 hosts with uneven shares, mirrored in the
+    // oracle)
+    "q_domain_stats" -> ((s, d) =>
+      TextAnalysis.domainStats(
+        s.read.parquet(t(d, "documents")).withColumn("src_url", srcUrl),
+        "src_url")),
+    // host blocklist filter over the same synthesized source URLs
+    "q_domain_filter" -> ((s, d) =>
+      TextAnalysis.domainFilter(
+        s.read.parquet(t(d, "documents")).withColumn("src_url", srcUrl),
+        "src_url", Seq("common.example", "gamma.example"))
+        .select(col("doc_id").as("id"), col("host"))),
     // C4/CCNet line-level boilerplate removal: the synthetic corpus has no
     // line structure, so plant a shared header and a per-source footer
     // (mirrored in the oracle) that the operator must strip while keeping
@@ -964,6 +1007,46 @@ object SparkEntry {
         |SELECT id, rnk::BIGINT AS rnk, term, tf, round(s, 4) AS tfidf
         |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, term ASC) AS rnk FROM sc)
         |WHERE rnk <= 3""".stripMargin,
+    "q_url_scan" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id = 0 THEN 'see https://alpha.example/a and http://beta.example/b?q=1 plus https://alpha.example/c'
+        |         WHEN doc_id = 1 THEN 'no urls in this document at all'
+        |         WHEN doc_id = 2 THEN 'dup https://gamma.example/x https://gamma.example/y trailing https://delta.example/z.'
+        |         WHEN doc_id = 3 THEN 'quoted "https://eps.example/q" and <https://zeta.example/r>'
+        |         ELSE coalesce(text, '') END AS t
+        |  FROM documents
+        |), u AS (
+        |  SELECT id, regexp_extract_all(t, 'https?://[^\s"''<>]+') AS urls FROM d
+        |), h AS (
+        |  SELECT id, urls,
+        |    list_distinct(list_transform(urls,
+        |      x -> regexp_extract(x, 'https?://([^/?#\s"''<>]+)', 1))) AS hosts
+        |  FROM u
+        |)
+        |SELECT id, len(urls)::BIGINT AS n_urls, len(hosts)::BIGINT AS n_hosts,
+        |  CASE WHEN len(hosts) = 0 THEN '' ELSE list_sort(hosts)[1] END AS first_host
+        |FROM h""".stripMargin,
+    "q_domain_stats" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 10 <= 5 THEN 'common.example'
+        |              WHEN doc_id % 10 <= 7 THEN 'alpha.example'
+        |              WHEN doc_id % 10 = 8 THEN 'beta.example'
+        |              ELSE 'gamma.example' END AS host
+        |  FROM documents
+        |), nn AS (SELECT count(*)::BIGINT AS n FROM d)
+        |SELECT host, count(*)::BIGINT AS n_docs,
+        |  round(count(*)::DOUBLE / any_value(n), 4) AS share
+        |FROM d CROSS JOIN nn GROUP BY host""".stripMargin,
+    "q_domain_filter" ->
+      """SELECT doc_id AS id, host FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 <= 5 THEN 'common.example'
+        |         WHEN doc_id % 10 <= 7 THEN 'alpha.example'
+        |         WHEN doc_id % 10 = 8 THEN 'beta.example'
+        |         ELSE 'gamma.example' END AS host
+        |  FROM documents
+        |) WHERE host NOT IN ('common.example', 'gamma.example')""".stripMargin,
     "q_pii_scan" ->
       """WITH p AS (
         |  SELECT doc_id AS id,

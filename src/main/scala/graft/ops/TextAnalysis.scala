@@ -361,6 +361,76 @@ object TextAnalysis {
       .filter(col("bucket_hash") < threshold)
   }
 
+  /** URL literal: scheme + everything up to whitespace/quote/angle-bracket.
+    * Plain ASCII classes only (Java regex and RE2 agree on every match);
+    * shared verbatim with the DuckDB oracle. */
+  val UrlRe = "https?://[^\\s\"'<>]+"
+  /** Host part of a URL: the authority between the scheme and the first
+    * `/`, `?`, or `#` (ports and userinfo stay attached — curation
+    * blocklists operate on the raw authority). */
+  val HostRe = "https?://([^/?#\\s\"'<>]+)"
+
+  /** URL scan: per-document URL mentions — total URL literals, distinct
+    * referenced hosts, and the lexicographically first host (a scalar the
+    * driver's hash compare handles; the full host set is `urlHosts`). The
+    * counting pass is `regexp_count`/`regexp_extract_all` built-ins; the
+    * per-doc host dedup is a transform over that doc's own (tiny) match
+    * array, never a shuffle. Returns (id, n_urls, n_hosts, first_host —
+    * empty string when no URL). */
+  def urlScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val hosts = array_distinct(transform(
+      regexp_extract_all(t, lit(UrlRe), lit(0)),
+      u => regexp_extract(u, HostRe, 1)))
+    df.select(
+      col(idCol).as("id"),
+      regexp_count(t, lit(UrlRe)).cast("long").as("n_urls"),
+      size(hosts).cast("long").as("n_hosts"),
+      coalesce(array_min(hosts), lit("")).as("first_host"))
+  }
+
+  /** Distinct hosts referenced per document, one row per (id, host) — the
+    * exploded relation [[domainStats]] and joins against host blocklists
+    * consume. */
+  def urlHosts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          regexp_extract_all(t, lit(UrlRe), lit(0)),
+          u => regexp_extract(u, HostRe, 1)))).as("host"))
+  }
+
+  /** Per-host corpus composition over a source-URL column — the
+    * domain-level audit (and downsampling input) of a web corpus: document
+    * count and corpus share per host, host extracted from each document's
+    * own source URL. One narrow projection + one partial-agg groupBy —
+    * a boilerplate host hot in millions of documents collapses map-side;
+    * the corpus total rides a 1-row broadcast cross join, never a collect.
+    * Returns (host, n_docs, share) with share rounded to 4 decimals. */
+  def domainStats(df: DataFrame, urlCol: String): DataFrame = {
+    val host = regexp_extract(coalesce(col(urlCol), lit("")), HostRe, 1)
+    val perHost = df.select(host.as("host"))
+      .groupBy("host").agg(count(lit(1)).as("n_docs"))
+    val total = broadcast(df.agg(count(lit(1)).as("_n")))
+    perHost.crossJoin(total)
+      .select(col("host"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("_n"), 4).as("share"))
+  }
+
+  /** Host blocklist filter over a source-URL column: keep a document iff
+    * its source host is NOT on the blocklist — the C4/RefinedWeb-style
+    * source-level exclusion step. The blocklist is a bounded literal set
+    * (isin — codegen, no join, filter-pushdown friendly); rows whose URL
+    * yields no host (malformed source) are KEPT and flagged by the
+    * returned host column so the caller can quarantine them explicitly
+    * rather than having them vanish. Returns the kept rows + `host`. */
+  def domainFilter(df: DataFrame, urlCol: String,
+                   blockedHosts: Seq[String]): DataFrame = {
+    require(blockedHosts.nonEmpty, "empty blocklist: nothing to filter")
+    val host = regexp_extract(coalesce(col(urlCol), lit("")), HostRe, 1)
+    df.withColumn("host", host).filter(!col("host").isin(blockedHosts: _*))
+  }
+
   /** Benchmark-contamination scan: for each corpus document, count how many
     * of a benchmark set's distinct k-gram shingles it contains (token
     * k-grams, same tokenization as the n-gram dedup family) — the

@@ -462,6 +462,37 @@ class OpsSpec extends SparkSpec {
     expFx.foreach { case (id, s) => assert(math.abs(gotFx(id) - s) <= 1e-4 + 1e-9) }
   }
 
+  test("url scan + domain stats + blocklist filter: hosts extracted, deduped, filtered") {
+    val d = Seq(
+      (0L, "see https://a.example/x and http://b.example/y?q=1 plus https://a.example/z"),
+      (1L, "no urls at all"),
+      (2L, "quoted \"https://c.example/q\" and <https://d.example:8080/r> end"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val scan = TextAnalysis.urlScan(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(scan(0L) === ((3L, 2L, "a.example")), "dup host deduped, min host first")
+    assert(scan(1L) === ((0L, 0L, "")))
+    assert(scan(2L) === ((2L, 2L, "c.example")), "quotes/angles terminate; port stays on host")
+    assert(scan(3L) === ((0L, 0L, "")), "null text is zero URLs, not a crash")
+    val hosts = TextAnalysis.urlHosts(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(hosts === Set((0L, "a.example"), (0L, "b.example"),
+      (2L, "c.example"), (2L, "d.example:8080")))
+
+    val src = Seq((0L, "https://keep.example/a"), (1L, "https://bad.example/b"),
+      (2L, "https://keep.example/c"), (3L, "not a url"))
+      .toDF("doc_id", "src_url")
+    val stats = TextAnalysis.domainStats(src, "src_url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(stats("keep.example") === ((2L, 0.5)))
+    assert(stats("bad.example") === ((1L, 0.25)))
+    assert(stats("") === ((1L, 0.25)), "malformed source is a visible bucket, not dropped")
+    val kept = TextAnalysis.domainFilter(src, "src_url", Seq("bad.example"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L, 3L), "malformed-source rows are kept and flagged, not vanished")
+  }
+
   test("gopher filter: each rule trips on its designed degenerate doc") {
     val good = ("the data and table are good to scan for insight with care " * 5).trim
     val d = Seq(
