@@ -281,6 +281,20 @@ object SparkEntry {
           .otherwise(col("text")))
       TextAnalysis.piiScan(planted, "doc_id", "text")
     }),
+    // text cleaning: plant decomposed accents, zero-width/control chars,
+    // a BOM and a DEL on docs 0-2 (doc 3 and the rest are already clean)
+    // — mirrored in the oracle via chr() codepoints
+    "q_clean_text" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      val planted = docs.withColumn("text",
+        when(col("doc_id") === 0, lit("cafe\u0301 con\u200Btrol"))
+          .when(col("doc_id") === 1,
+            lit("line1\u0001\u0002 ok\ttab kept\nnewline kept"))
+          .when(col("doc_id") === 2, lit("\uFEFFstart del\u007Fend"))
+          .when(col("doc_id") === 3, lit("nothing to clean here"))
+          .otherwise(col("text")))
+      TextAnalysis.cleanText(planted, "doc_id", "text")
+    }),
     // URL scan: the synthetic corpus carries no URLs, so plant
     // deterministic literals on docs 0-3 exercising dup hosts, quote/angle
     // termination and a URL-free doc (mirrored in the oracle)
@@ -1007,6 +1021,22 @@ object SparkEntry {
         |SELECT id, rnk::BIGINT AS rnk, term, tf, round(s, 4) AS tfidf
         |FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, term ASC) AS rnk FROM sc)
         |WHERE rnk <= 3""".stripMargin,
+    "q_clean_text" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN doc_id = 0 THEN 'cafe' || chr(769) || ' con' || chr(8203) || 'trol'
+        |         WHEN doc_id = 1 THEN 'line1' || chr(1) || chr(2) || ' ok' || chr(9) || 'tab kept' || chr(10) || 'newline kept'
+        |         WHEN doc_id = 2 THEN chr(65279) || 'start del' || chr(127) || 'end'
+        |         WHEN doc_id = 3 THEN 'nothing to clean here'
+        |         ELSE coalesce(text, '') END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT id, t,
+        |    regexp_replace(nfc_normalize(t),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS text_clean
+        |  FROM d
+        |)
+        |SELECT id, text_clean, text_clean <> t AS changed FROM c""".stripMargin,
     "q_url_scan" ->
       """WITH d AS (
         |  SELECT doc_id AS id,

@@ -39,6 +39,8 @@ object GraftFunctions {
     composed("non_alpha_ratio", 1)(cs => TextFns.nonAlphaRatioCol(cs.head)),
     // whitespace-normalized lowercase md5 — the exact-dedup identity
     composed("doc_fingerprint", 1)(cs => TextFns.fingerprintCol(cs.head)),
+    (FunctionIdentifier(NfcNormalizeFn.functionName),
+      NfcNormalizeFn.info, NfcNormalizeFn.builder),
     (FunctionIdentifier(SpanHashes.functionName),
       SpanHashes.info, SpanHashes.builder),
     (FunctionIdentifier(WordGramsFn.functionName),

@@ -361,6 +361,29 @@ object TextAnalysis {
       .filter(col("bucket_hash") < threshold)
   }
 
+  /** Control/invisible chars stripped by [[cleanText]]: C0 controls except
+    * tab/newline/CR (which carry document structure), DEL, zero-width
+    * space/joiners, and the BOM. ASCII-plus-explicit-codepoint class only,
+    * shared semantics with the RE2 form in the DuckDB oracle. */
+  val CtrlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\u200B-\\u200D\\uFEFF]"
+
+  /** Text cleaning — the normalization pass a corpus pipeline runs BEFORE
+    * any dedup/fingerprint/tokenize step: Unicode NFC (decomposed accents
+    * and compatibility variants of the same visible string must hash
+    * identically — a native expression, [[graft.functions.NfcNormalize]]),
+    * then strip control and zero-width characters (tab/newline/CR kept:
+    * they carry the line structure lineDedup consumes). A narrow codegen
+    * projection, no UDF, no shuffle; NFC short-circuits on already-
+    * normalized (e.g. all-ASCII) text without allocating.
+    * Returns (id, text_clean, changed). */
+  def cleanText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val cleaned = regexp_replace(
+      graft.functions.NfcNormalizeFn(t), CtrlRe, "")
+    df.select(col(idCol).as("id"), cleaned.as("text_clean"),
+      (cleaned =!= t).as("changed"))
+  }
+
   /** URL literal: scheme + everything up to whitespace/quote/angle-bracket.
     * Plain ASCII classes only (Java regex and RE2 agree on every match);
     * shared verbatim with the DuckDB oracle. */

@@ -462,6 +462,30 @@ class OpsSpec extends SparkSpec {
     expFx.foreach { case (id, s) => assert(math.abs(gotFx(id) - s) <= 1e-4 + 1e-9) }
   }
 
+  test("clean text: NFC-composes accents, strips control/zero-width chars, keeps structure") {
+    val d = Seq(
+      (0L, "cafe\u0301 con\u200Btrol"),             // decomposed accent + ZWSP
+      (1L, "a\u0001b\ttab\nline\rcr"),              // C0 stripped, \t \n \r kept
+      (2L, "\uFEFFbom del\u007F"),                  // BOM + DEL stripped
+      (3L, "already clean"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.cleanText(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got(0L) === (("caf\u00E9 control", true)), "NFC composes e+combining-acute")
+    assert(got(1L) === (("ab\ttab\nline\rcr", true)))
+    assert(got(2L) === (("bom del", true)))
+    assert(got(3L) === (("already clean", false)))
+    assert(got(4L) === (("", false)), "null text cleans to empty, unchanged")
+    // SQL surface agrees with the Column API
+    val spark2 = spark; import spark2.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    d.createOrReplaceTempView("ct_docs")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize(text) FROM ct_docs WHERE doc_id = 0").head().getString(0)
+    assert(viaSql === "caf\u00E9 con\u200Btrol")
+  }
+
   test("url scan + domain stats + blocklist filter: hosts extracted, deduped, filtered") {
     val d = Seq(
       (0L, "see https://a.example/x and http://b.example/y?q=1 plus https://a.example/z"),
