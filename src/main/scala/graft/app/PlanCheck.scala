@@ -14,7 +14,8 @@ object PlanCheck {
     val interesting = Seq("q_agg_pricing", "q_join_agg", "q_chunk_filter",
       "q_window_top1", "q_exact_dedup", "q_cosine_topk", "q_token_count", "q_gopher",
       "q_repetition", "q_dup_spans", "q_dupspan_removal", "q_bm25", "q_tfidf", "q_line_dedup", "q_strat_sample",
-      "q_sessionize", "q_asof_join", "q_dsir_weights", "q_lm_ppl")
+      "q_sessionize", "q_asof_join", "q_dsir_weights", "q_lm_ppl",
+      "q_clean_text", "q_url_scan", "q_domain_stats", "q_domain_filter")
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
