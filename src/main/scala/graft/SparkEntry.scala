@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Corpus
 import graft.extract.DeterministicExtractor
-import graft.ops.{Dedup, Events, Importance, LangModel, Packing, Ranking, Similarity, TextAnalysis}
+import graft.ops.{Classifier, Dedup, Events, Importance, LangModel, Packing, Ranking, Similarity, TextAnalysis}
 import graft.pipeline.BuildPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -203,6 +203,18 @@ object SparkEntry {
       Dedup.dedupClusters(corpus, "vec_id", pairs)
         .withColumnRenamed("group", "group_id")
     }),
+    // same clusters, components via large-star/small-star contraction —
+    // shares q_dedup_clusters' DuckDB oracle, so the O(log² n) CC path is
+    // independently verified end-to-end, not just spec-tested
+    "q_cc_bigstar" -> ((s, d) => {
+      val emb = s.read.parquet(t(d, "embeddings"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val corpus = emb.unionByName(planted)
+      val pairs = Dedup.embeddingCosinePairs(corpus, "vec_id", "embedding", threshold = 0.95)
+      Dedup.dedupClusters(corpus, "vec_id", pairs, bigStar = true)
+        .withColumnRenamed("group", "group_id")
+    }),
     // SemDeDup (cluster-scoped semantic dedup): oracle-reproducible seed
     // centroids — the embeddings of vec_id 0..7, so centroid index ==
     // vec_id and DuckDB can replay the assignment argmax exactly (same
@@ -225,6 +237,10 @@ object SparkEntry {
       TextAnalysis.quality(s.read.parquet(t(d, "documents")), "doc_id", "text")),
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(s.read.parquet(t(d, "documents")), "doc_id", "text")),
+    // Shannon character entropy (bits/char) — gibberish/low-information
+    // signal; integer-count ln arithmetic, exactly SQL-replayable
+    "q_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(s.read.parquet(t(d, "documents")), "doc_id", "text")),
     // deterministic salted-hash train/val/test assignment — stable under
     // corpus growth, no shuffle; the oracle is the same md5-prefix compare
     "q_hash_split" -> ((s, d) =>
@@ -350,6 +366,14 @@ object SparkEntry {
       val docs = s.read.parquet(t(d, "documents"))
       LangModel.bigramPerplexity(docs, "doc_id", "text",
         docs.filter(col("source") === "src0"), "text")
+    }),
+    // fastText-style source classifier: multinomial NB trained on the
+    // even-doc_id half, every document scored and argmax-labeled —
+    // integer-count arithmetic, fully SQL-replayable
+    "q_nb_classify" -> ((s, d) => {
+      val docs = s.read.parquet(t(d, "documents"))
+      Classifier.naiveBayes(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "source", "text")
     }),
     // DSIR importance weights: target distribution = the src0 slice,
     // raw = the whole corpus; hashed-token bucket models, Laplace(+1),
@@ -776,6 +800,24 @@ object SparkEntry {
         |    ELSE round(length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0
         |      / length(no_ws), 4) END AS non_alpha_ratio
         |FROM w""".stripMargin,
+    "q_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(coalesce(text, ''), ''), c -> c <> '')) AS ch
+        |  FROM documents
+        |), hist AS (
+        |  SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM ch GROUP BY 1, 2
+        |), ent AS (
+        |  SELECT doc_id, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS dc,
+        |    sum(cnt::DOUBLE * (ln(cnt::DOUBLE) / ln(2.0::DOUBLE))) AS slc
+        |  FROM hist GROUP BY 1
+        |)
+        |SELECT d.doc_id AS id,
+        |  coalesce(e.n, 0)::BIGINT AS n_chars,
+        |  coalesce(e.dc, 0)::BIGINT AS distinct_chars,
+        |  round(CASE WHEN coalesce(e.n, 0) = 0 THEN 0.0::DOUBLE
+        |    ELSE (ln(e.n::DOUBLE) / ln(2.0::DOUBLE)) - e.slc / e.n END, 4) AS entropy
+        |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id""".stripMargin,
     "q_embed_neardup" ->
       """WITH c AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -787,6 +829,25 @@ object SparkEntry {
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
     "q_dedup_clusters" ->
+      """WITH c AS (
+        |  SELECT vec_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id < 20
+        |)
+        |SELECT CAST(vec_id AS VARCHAR) AS id,
+        |  CASE WHEN vec_id < 20
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
+        |       WHEN vec_id >= 1000000
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
+        |       ELSE CAST(vec_id AS VARCHAR) END AS group_id,
+        |  CAST(vec_id AS VARCHAR) = CASE WHEN vec_id < 20
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
+        |       WHEN vec_id >= 1000000
+        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
+        |       ELSE CAST(vec_id AS VARCHAR) END AS keep
+        |FROM c""".stripMargin,
+    // the large-star/small-star path must produce byte-identical clusters
+    "q_cc_bigstar" ->
       """WITH c AS (
         |  SELECT vec_id FROM embeddings
         |  UNION ALL
@@ -1189,6 +1250,59 @@ object SparkEntry {
         |  round(coalesce(sc.s / sc.n, 0.0::DOUBLE), 4) AS avg_logprob,
         |  round(coalesce(exp(-(sc.s / sc.n)), 0.0::DOUBLE), 4) AS ppl
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    "q_nb_classify" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    list_filter(
+        |      regexp_split_to_array(lower(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS ws
+        |  FROM documents
+        |), nc AS (
+        |  SELECT source AS c, count(*)::BIGINT AS n_c FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+        |), n AS (SELECT sum(n_c)::BIGINT AS n FROM nc),
+        |ct AS (
+        |  SELECT source AS c, t, count(*)::BIGINT AS cnt
+        |  FROM (SELECT source, unnest(ws) AS t FROM tok WHERE doc_id % 2 = 0) GROUP BY 1, 2
+        |), ctot AS (SELECT c, sum(cnt)::BIGINT AS cnt_c FROM ct GROUP BY 1),
+        |vocab AS (SELECT DISTINCT t FROM ct),
+        |vs AS (SELECT count(*)::BIGINT AS v FROM vocab),
+        |tf AS (
+        |  SELECT doc_id, t, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY 1, 2
+        |), marked AS (
+        |  SELECT tf.doc_id, tf.t, tf.tf, vocab.t IS NOT NULL AS iv
+        |  FROM tf LEFT JOIN vocab ON tf.t = vocab.t
+        |), doctot AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS n_d,
+        |    sum(CASE WHEN iv THEN 0 ELSE tf END)::BIGINT AS n_oov
+        |  FROM marked GROUP BY 1
+        |), inv AS (
+        |  SELECT m.doc_id, nc.c,
+        |    sum(m.tf::DOUBLE * ln(coalesce(ct.cnt, 0) + 1.0::DOUBLE)) AS s1
+        |  FROM marked m CROSS JOIN nc
+        |  LEFT JOIN ct ON ct.c = nc.c AND ct.t = m.t
+        |  WHERE m.iv GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.doc_id, nc.c,
+        |    coalesce(dt.n_d, 0)::BIGINT AS n_d, coalesce(dt.n_oov, 0)::BIGINT AS n_oov,
+        |    ln(nc.n_c::DOUBLE) - ln(n.n::DOUBLE)
+        |      + coalesce(inv.s1, 0.0::DOUBLE)
+        |      + coalesce(dt.n_oov, 0)::DOUBLE * ln(1.0::DOUBLE)
+        |      - coalesce(dt.n_d, 0)::DOUBLE * ln(ctot.cnt_c::DOUBLE + (vs.v + 1)::DOUBLE * 1.0::DOUBLE) AS s
+        |  FROM documents d
+        |  CROSS JOIN nc
+        |  LEFT JOIN doctot dt ON d.doc_id = dt.doc_id
+        |  LEFT JOIN inv ON inv.doc_id = d.doc_id AND inv.c = nc.c
+        |  JOIN ctot ON ctot.c = nc.c
+        |  CROSS JOIN n CROSS JOIN vs
+        |), ranked AS (
+        |  SELECT doc_id, c, n_d, n_oov, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id AS id, c AS pred, n_d AS n_tokens, n_oov,
+        |  round(s, 4) AS score
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "q_dsir_weights" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -15,7 +15,8 @@ object PlanCheck {
       "q_window_top1", "q_exact_dedup", "q_cosine_topk", "q_token_count", "q_gopher",
       "q_repetition", "q_dup_spans", "q_dupspan_removal", "q_bm25", "q_tfidf", "q_line_dedup", "q_strat_sample",
       "q_sessionize", "q_asof_join", "q_dsir_weights", "q_lm_ppl",
-      "q_clean_text", "q_url_scan", "q_domain_stats", "q_domain_filter")
+      "q_clean_text", "q_url_scan", "q_domain_stats", "q_domain_filter",
+      "q_nb_classify", "q_cc_bigstar", "q_entropy")
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")

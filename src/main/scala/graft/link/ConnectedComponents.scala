@@ -94,6 +94,84 @@ object ConnectedComponents {
       labelsRdd)
   }
 
+  /** Large-star/small-star connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond", public algorithm) —
+    * the alternating star-contraction whose round count is O(log² n)
+    * on ANY graph, vs [[run]]'s min-label propagation whose rounds equal
+    * the component diameter. Same contract as [[run]]: (vertices(key,v),
+    * edges(key,a,b)) → (key, v, component) with component = min member,
+    * ghost endpoints bridge but are not emitted. This is the path for
+    * graphs whose diameter is NOT bounded by construction (corpus-global
+    * linking chains); per-document graphs keep using [[runPerKey]].
+    *
+    * Each round is two (groupBy + join) passes over the current pair set:
+    *   large-star: every neighbor v > u re-attaches to m = min(Γ(u) ∪ {u});
+    *   small-star: every neighbor (all < u after large-star) plus u itself
+    *   re-attaches to the minimum of the closed neighborhood.
+    * Pairs stay oriented u > v throughout, so the evolving relation is a
+    * canonical set and the fixpoint test is an exact set compare of two
+    * cached iterations, not a checksum. At fixpoint the relation is a
+    * star: every non-root points directly at its component minimum. */
+  def runBigStar(vertices: DataFrame, edges: DataFrame, maxIter: Int = 40): DataFrame =
+    runBigStarHandle(vertices, edges, maxIter)._1
+
+  /** [[runBigStar]] plus the final persisted RDD for deterministic cache
+    * release (same discipline as [[runHandle]]). */
+  def runBigStarHandle(vertices: DataFrame, edges: DataFrame, maxIter: Int = 40)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    // canonical orientation u > v; self-loops dropped; set semantics
+    val init = edges
+      .select(col("key"), greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var (p, pRdd) = graft.core.Materialize.stageCutHandle(init)
+    var prevCount = p.count()
+    var iter = 0
+    var converged = prevCount == 0L
+    while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
+      // LARGE-STAR over bidirectional neighborhoods. m <= u < v for every
+      // emitted (v, m), so the u > v orientation is preserved by renaming.
+      val nbrs = p.select(col("key"), col("u"), col("v"))
+        .union(p.select(col("key"), col("v").as("u"), col("u").as("v")))
+      val lmin = nbrs.groupBy("key", "u").agg(min("v").as("mv"))
+        .select(col("key"), col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nbrs.join(lmin, Seq("key", "u"))
+        .filter(col("v") > col("u"))
+        .select(col("key"), col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: after large-star every neighbor of u is < u, so the
+      // closed-neighborhood minimum is just min(v); u itself re-attaches.
+      val smin = large.groupBy("key", "u").agg(min("v").as("m"))
+      val small = large.join(smin, Seq("key", "u"))
+        .select(col("key"), col("v").as("x"), col("m"))
+        .union(smin.select(col("key"), col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("key"), col("x").as("u"), col("m").as("v"))
+        .distinct()
+      val (cp, cpRdd) = graft.core.Materialize.stageCutHandle(small)
+      val curCount = cp.count()
+      // exact set fixpoint: both sides cached, equal counts + empty diff
+      converged = curCount == prevCount && cp.except(p).limit(1).count() == 0L
+      pRdd.unpersist(blocking = false)
+      p = cp; pRdd = cpRdd; prevCount = curCount
+      iter += 1
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        System.err.println(f"[cc-bigstar] iter=$iter pairs=$curCount ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    if (!converged)
+      System.err.println(s"[graft] WARNING: large-star/small-star did NOT reach its " +
+        s"fixpoint in $maxIter rounds — labels may split a component; raise maxIter")
+    // fixpoint relation is a star (u → component min); roots and isolated
+    // declared vertices label themselves. min() guards a non-converged
+    // partial relation where u could still carry several parents.
+    val lbl = p.groupBy("key", "u").agg(min("v").as("m"))
+      .select(col("key"), col("u").as("v"), col("m"))
+    val out = vertices.select(col("key"), col("v"))
+      .join(lbl, Seq("key", "v"), "left")
+      .select(col("key"), col("v"), coalesce(col("m"), col("v")).as("component"))
+    (out, pRdd)
+  }
+
   /** Per-key exact components in ONE shuffle: groupByKey(key) + local
     * union-find with path compression inside flatMapGroups. Correct and
     * far cheaper than the iterative path whenever a single key's subgraph

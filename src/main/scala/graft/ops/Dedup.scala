@@ -316,8 +316,9 @@ object Dedup {
     * union-find — min-label propagation rounds are bounded by component
     * diameter, which near-dup transitivity keeps shallow.
     * Output: (id, group, keep). Singleton docs keep themselves. */
-  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
-    dedupClustersHandle(df, idCol, pairs)._1
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame,
+                    bigStar: Boolean = false): DataFrame =
+    dedupClustersHandle(df, idCol, pairs, bigStar)._1
 
   /** [[dedupClusters]] plus a cleanup thunk for long-lived sessions: the
     * expensive pair-table cache is ALWAYS freed eagerly here (once CC has
@@ -326,8 +327,13 @@ object Dedup {
     * failing), and the thunk frees the remaining small label cache once
     * the caller has consumed/persisted the result — without it, repeated
     * invocations in one session would pin one label table each. */
-  def dedupClustersHandle(df: DataFrame, idCol: String,
-                          pairs: DataFrame): (DataFrame, () => Unit) = {
+  /** `bigStar = true` routes component formation through the large-star/
+    * small-star contraction ([[graft.link.ConnectedComponents.runBigStar]])
+    * instead of min-label propagation — same labels (min member), round
+    * count O(log² n) instead of component diameter, for pair graphs whose
+    * transitive chains are not bounded by construction. */
+  def dedupClustersHandle(df: DataFrame, idCol: String, pairs: DataFrame,
+                          bigStar: Boolean = false): (DataFrame, () => Unit) = {
     import graft.link.ConnectedComponents
     // materialize the pair stage ONCE (it is typically the output of an
     // expensive LSH pipeline) so CC iterations never recompute it
@@ -338,7 +344,9 @@ object Dedup {
     // is a vanishing fraction of the corpus, so the label-propagation
     // rounds never shuffle the full id set
     val touched = p.select(col("a").as("v")).union(p.select(col("b").as("v"))).distinct()
-    val (comp, compRdd) = ConnectedComponents.runHandle(
+    val cc = if (bigStar) ConnectedComponents.runBigStarHandle(_, _, 40)
+             else ConnectedComponents.runHandle(_, _, 25)
+    val (comp, compRdd) = cc(
       touched.select(lit("g").as("key"), col("v")),
       p.select(lit("g").as("key"), col("a"), col("b")))
     pRdd.unpersist(blocking = false)

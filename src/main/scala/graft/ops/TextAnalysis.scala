@@ -58,6 +58,36 @@ object TextAnalysis {
       round(TextFns.nonAlphaRatioCol(col(textCol)), 4).as("non_alpha_ratio"))
   }
 
+  /** Per-document Shannon character entropy (bits/char) — the standard
+    * gibberish / low-information-content signal (random keyboard mash and
+    * binary-pasted-as-text sit far from natural language's ~4 bits/char).
+    * H = log2(n) − (Σ c·log2 c)/n over the per-character counts c — the
+    * algebraic form of −Σ p·log2 p whose ln inputs are INTEGERS, so the
+    * DuckDB oracle replays the exact doubles.
+    *
+    * 100 TB shape: one explode → two partial-agg-friendly groupBys (the
+    * (id, ch) histogram collapses ~alphabet-fold before the per-doc
+    * rollup); nothing corpus-sized leaves the aggregation tree. A char is
+    * a UTF-16 code unit on the Spark side (Java split semantics) — the
+    * fixture corpora are BMP-only, where unit == code point. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hist = df
+      .select(col(idCol).as("id"),
+        explode(filter(split(coalesce(col(textCol), lit("")), ""), c => c =!= "")).as("ch"))
+      .groupBy("id", "ch").agg(count(lit(1)).as("cnt"))
+    val ent = hist.groupBy("id").agg(
+      sum("cnt").as("n"),
+      count(lit(1)).as("distinct_chars"),
+      sum(col("cnt").cast("double") * log(2.0, col("cnt").cast("double"))).as("slc"))
+    df.select(col(idCol).as("id")).join(ent, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n"), lit(0L)).as("n_chars"),
+        coalesce(col("distinct_chars"), lit(0L)).as("distinct_chars"),
+        round(when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
+          .otherwise(log(2.0, col("n").cast("double")) - col("slc") / col("n")), 4)
+          .as("entropy"))
+  }
+
   /** Token count (the engine's deterministic estimator, F2). */
   def tokenCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),

@@ -88,6 +88,9 @@ class LinkerSpec extends SparkSpec {
       val gotPerKey = ConnectedComponents.runPerKey(
           vs.toDF("key", "v"), es.toDF("key", "a", "b"))
         .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+      val gotBigStar = ConnectedComponents.runBigStar(
+          vs.toDF("key", "v"), es.toDF("key", "a", "b"))
+        .collect().map(r => r.getString(1) -> r.getString(2)).toMap
       // brute force union-find
       val parent = scala.collection.mutable.Map(vs.map(v => v._2 -> v._2).toSeq: _*)
       def find(x: String): String = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
@@ -100,7 +103,34 @@ class LinkerSpec extends SparkSpec {
       }.toMap
       assert(got === expect, s"pairs=$pairs")
       assert(gotPerKey === expect, s"(perKey) pairs=$pairs")
+      assert(gotBigStar === expect, s"(bigStar) pairs=$pairs")
     }
+  }
+
+  test("large-star/small-star handles diameter far beyond its round count") {
+    // a 200-node chain: min-label propagation needs 200 rounds (its
+    // default cap is 25); star contraction collapses it in O(log² n)
+    import spark.implicits._
+    val n = 200
+    val vs = (0 until n).map(i => ("k", f"v$i%03d")).toDF("key", "v")
+    val es = (0 until n - 1).map(i => ("k", f"v$i%03d", f"v${i + 1}%03d"))
+      .toDF("key", "a", "b")
+    val got = ConnectedComponents.runBigStar(vs, es)
+      .collect().map(r => r.getString(1) -> r.getString(2))
+    assert(got.length === n, "every declared vertex emitted exactly once")
+    assert(got.forall(_._2 == "v000"), "one chain => one component rooted at min")
+  }
+
+  test("large-star/small-star: ghosts bridge, singletons self-label, empty edges") {
+    import spark.implicits._
+    val vs = Seq(("k", "a"), ("k", "b"), ("k", "z")).toDF("key", "v")
+    val es = Seq(("k", "a", "x"), ("k", "x", "b")).toDF("key", "a", "b")
+    val got = ConnectedComponents.runBigStar(vs, es)
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "z" -> "z"))
+    val empty = ConnectedComponents.runBigStar(vs, es.limit(0))
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(empty === Map("a" -> "a", "b" -> "b", "z" -> "z"))
   }
 
   test("runPerKey conserves every vertex at HashMap growth-trigger sizes") {

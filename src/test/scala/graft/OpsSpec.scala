@@ -753,6 +753,56 @@ class OpsSpec extends SparkSpec {
     assert(sub === s1.filter(_._1 < 25))
   }
 
+  test("char entropy: closed-form values, empty docs, uniform vs degenerate") {
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""), (5L, null))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("distinct_chars"),
+          r.getAs[Double]("entropy")))).toMap
+    assert(out(1L) === ((4L, 1L, 0.0)))     // degenerate: one symbol
+    assert(out(2L) === ((4L, 2L, 1.0)))     // two symbols, uniform
+    assert(out(3L) === ((4L, 4L, 2.0)))     // four symbols, uniform
+    assert(out(4L) === ((0L, 0L, 0.0)))
+    assert(out(5L) === ((0L, 0L, 0.0)))
+  }
+
+  test("naive-bayes classifier recovers the source of held-out documents") {
+    import graft.ops.Classifier
+    // two sources with disjoint dominant vocabularies; train on half,
+    // classify everything — held-out docs must be routed to their source
+    val rows = (0 until 40).map { i =>
+      val (src, text) =
+        if (i % 2 == 0) ("news", s"election parliament minister vote policy debate $i")
+        else ("code", s"function compile scala spark dataset catalyst $i")
+      (i.toLong, text, src)
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = Classifier.naiveBayes(d, "doc_id", "text",
+        d.filter(col("doc_id") < 20), "source", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("pred")).toMap
+    assert(out.size === 40)
+    rows.foreach { case (id, _, src) => assert(out(id) === src, s"doc $id") }
+  }
+
+  test("naive-bayes: token-less documents get the max-prior class, ties lexicographic") {
+    import graft.ops.Classifier
+    val train = Seq(
+      (0L, "alpha beta", "a"), (1L, "alpha gamma", "a"), (2L, "alpha", "a"),
+      (3L, "delta", "b")).toDF("doc_id", "text", "source")
+    val score = Seq((10L, ""), (11L, "   ")).toDF("doc_id", "text")
+    val out = Classifier.naiveBayes(score, "doc_id", "text", train, "source", "text")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("pred"),
+        r.getAs[Long]("n_tokens"))).toSet
+    // prior(a)=3/4 > prior(b)=1/4; empty docs carry zero likelihood mass
+    assert(out === Set((10L, "a", 0L), (11L, "a", 0L)))
+    // equal priors -> lexicographically smaller class wins the tie
+    val train2 = Seq((0L, "alpha", "b"), (1L, "beta", "a")).toDF("doc_id", "text", "source")
+    val out2 = Classifier.naiveBayes(score, "doc_id", "text", train2, "source", "text")
+      .collect().map(r => r.getAs[String]("pred")).toSet
+    assert(out2 === Set("a"))
+  }
+
   test("minhash signature: more similar texts share more signature positions") {
     val a = "the quick brown fox jumps over the lazy dog again and again in the field"
     val b = a.replace("field", "meadow")
