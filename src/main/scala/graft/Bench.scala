@@ -45,7 +45,7 @@ object Bench {
       "q_exact_dedup", "q_agg_pricing", "q_join_agg",
       "q_repetition", "q_dup_spans", "q_dupspan_removal", "q_bm25", "q_tfidf", "q_line_dedup", "q_pack", "q_stream_dedup",
       "q_sessionize", "q_asof_join", "q_semantic_dedup", "q_dsir_weights", "q_lm_ppl",
-      "q_nb_classify", "q_cc_bigstar", "q_entropy")
+      "q_nb_classify", "q_cc_bigstar", "q_entropy", "q_curate_pack")
     heavy.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         timed(name)(fn(spark, sfDir).count())

@@ -367,6 +367,17 @@ object SparkEntry {
       LangModel.bigramPerplexity(docs, "doc_id", "text",
         docs.filter(col("source") === "src0"), "text")
     }),
+    // the composed curation funnel (clean -> lang -> quality -> exact
+    // dedup -> near-dedup -> train split -> pack): one oracle covering
+    // the chained semantics of six already-oracled stages plus a
+    // recursive-CTE replay of cluster formation
+    "q_curate_pack" -> ((s, d) =>
+      graft.ops.Curation.curate(s.read.parquet(t(d, "documents")), "doc_id", "text")),
+    "q_curate_stats" -> ((s, d) => {
+      val (_, stats, _) = graft.ops.Curation.curateHandle(
+        s.read.parquet(t(d, "documents")), "doc_id", "text")
+      stats
+    }),
     // fastText-style source classifier: multinomial NB trained on the
     // even-doc_id half, every document scored and argmax-labeled —
     // integer-count arithmetic, fully SQL-replayable
@@ -1250,6 +1261,91 @@ object SparkEntry {
         |  round(coalesce(sc.s / sc.n, 0.0::DOUBLE), 4) AS avg_logprob,
         |  round(coalesce(exp(-(sc.s / sc.n)), 0.0::DOUBLE), 4) AS ppl
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    // the whole funnel replayed: per-stage forms are the proven oracles of
+    // q_clean_text / q_lang_id / q_quality / q_exact_dedup /
+    // q_ngram_jaccard / q_hash_split / q_token_count, chained; cluster
+    // formation is a recursive-CTE transitive closure (min-label), and
+    // packing is the exclusive running sum the distributed prefix-sum
+    // operator computes. Near-dup candidate recall 1.0 is the same audited
+    // assumption q_minhash_lsh's oracle makes.
+    "q_curate_pack" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS id, coalesce(text, '') AS t FROM documents
+        |), cln AS (
+        |  SELECT id,
+        |    regexp_replace(nfc_normalize(t),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS tc
+        |  FROM base
+        |), ltoks AS (
+        |  SELECT id, list_filter(regexp_split_to_array(lower(tc), '[^a-z]+'), x -> x <> '') AS tk
+        |  FROM cln
+        |), lsc AS (
+        |  SELECT id, len(tk) AS ntk,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('the','and','of','to','is','in','that','with')))*1.0/len(tk) END AS s_en,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit','ein')))*1.0/len(tk) END AS s_de,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('el','la','de','que','y','es','en','los')))*1.0/len(tk) END AS s_es,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('le','la','de','et','est','les','des','une')))*1.0/len(tk) END AS s_fr
+        |  FROM ltoks
+        |), lk AS (
+        |  SELECT cln.id, tc FROM cln JOIN lsc ON cln.id = lsc.id
+        |  WHERE ntk > 0 AND greatest(s_en, s_de, s_es, s_fr) > 0
+        |    AND list_max([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
+        |                  {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'}])['l'] = 'en'
+        |), qk AS (
+        |  SELECT id, tc FROM (
+        |    SELECT id, tc, regexp_replace(tc, '\s+', '', 'g') AS no_ws FROM lk)
+        |  WHERE length(tc) >= 100
+        |    AND (CASE WHEN length(no_ws) = 0 THEN 1.0
+        |         ELSE round(length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0
+        |           / length(no_ws), 4) END) <= 0.4
+        |), ek AS (
+        |  SELECT id, tc FROM (
+        |    SELECT id, tc, min(id) OVER (PARTITION BY md5(tc)) AS mid FROM qk)
+        |  WHERE id = mid
+        |), w AS (
+        |  SELECT id, list_filter(
+        |    regexp_split_to_array(lower(regexp_replace(tc, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS toks
+        |  FROM ek
+        |), sh AS (
+        |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS s
+        |  FROM w
+        |), e AS (SELECT id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        |prs AS (
+        |  SELECT a.id AS ida, b.id AS idb, count(*) AS inter,
+        |    min(a.n_sh) AS na, min(b.n_sh) AS nb
+        |  FROM e a JOIN e b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+        |), pp AS (
+        |  SELECT ida, idb FROM prs WHERE inter * 1.0 / (na + nb - inter) >= 0.8
+        |), edges2 AS (
+        |  SELECT ida AS a, idb AS b FROM pp UNION ALL SELECT idb, ida FROM pp
+        |), reach AS (
+        |  -- cluster labels are STRING ids in the operator (lexicographic
+        |  -- min member), so the closure must compare VARCHARs
+        |  SELECT id, CAST(id AS VARCHAR) AS comp FROM ek
+        |  UNION
+        |  SELECT e2.a AS id, r.comp FROM edges2 e2 JOIN reach r ON e2.b = r.id
+        |), grp AS (
+        |  SELECT id, min(comp) AS g FROM reach GROUP BY 1
+        |), nk AS (
+        |  SELECT ek.id, tc FROM ek JOIN grp ON ek.id = grp.id
+        |  WHERE CAST(ek.id AS VARCHAR) = grp.g
+        |), tr AS (
+        |  SELECT id, tc FROM nk
+        |  WHERE substr(md5(CAST(id AS VARCHAR) || ':split-v1'), 1, 8) < 'cccccccc'
+        |), tok AS (
+        |  SELECT id,
+        |    CAST(greatest(len(list_filter(regexp_split_to_array(tc, '\s+'), x -> x <> '')),
+        |      CAST(ceil(length(tc) / 4.0) AS INT)) AS BIGINT) AS n_tokens
+        |  FROM tr
+        |), packed AS (
+        |  SELECT id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM tok
+        |)
+        |SELECT id, n_tokens, tok_offset, tok_offset // 2048 AS bin FROM packed""".stripMargin,
     "q_nb_classify" ->
       """WITH tok AS (
         |  SELECT doc_id, source,

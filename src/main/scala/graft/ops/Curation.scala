@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed curation funnel — the end-to-end pipeline a pre-training
+  * data team runs over a raw crawl, chained from the individual operators
+  * this package ships (each of which is oracle- or spec-gated on its own):
+  *
+  *   clean (NFC + control strip) → language gate → quality gate
+  *   (length + non-alpha ratio) → exact dedup → MinHash-LSH near-dedup
+  *   → deterministic train split → token count → sequence packing.
+  *
+  * This is the curation analog of the KG build's `kg_build_e2e`: one
+  * benchmarkable number for the whole funnel, plus a per-stage retention
+  * report. Every stage is the operator's own plan — nothing here adds a
+  * shuffle beyond what the stages themselves need; the two fan-in points
+  * (post-quality corpus, exact-dedup survivors) are materialized exactly
+  * once because multiple stages consume them.
+  *
+  * 100 TB shape: inherits each stage's (all gates are narrow codegen
+  * projections + semi joins on id; both dedups are banded/blocked; the
+  * packer is the two-pass distributed prefix sum). The stats report is
+  * O(#stages) rows.
+  */
+object Curation {
+
+  /** [[curateHandle]] for one-shot use (caches stay pinned to session end). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             budget: Long = 2048, lang: String = "en"): DataFrame =
+    curateHandle(docs, idCol, textCol, budget, lang)._1
+
+  /** Run the funnel. Returns (packed, stats, cleanup):
+    *   packed — (id, n_tokens, tok_offset, bin), the training-shard layout
+    *   of every surviving train-split document;
+    *   stats — (stage, n) retention counts per funnel stage, in order;
+    *   cleanup — frees the two funnel caches plus each stage operator's
+    *   working sets (lineage kept: late consumers recompute, never fail). */
+  def curateHandle(docs: DataFrame, idCol: String, textCol: String,
+                   budget: Long = 2048, lang: String = "en")
+      : (DataFrame, DataFrame, () => Unit) = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      coalesce(col(textCol), lit("")).as("text"))
+
+    // gates: narrow projections joined back by semi join on id
+    val cleaned = TextAnalysis.cleanText(base, "id", "text")
+      .select(col("id"), col("text_clean"))
+    val langKept = cleaned.join(
+      TextAnalysis.langId(cleaned, "id", "text_clean")
+        .filter(col("lang_pred") === lang).select("id"),
+      Seq("id"), "left_semi")
+    val qKept = langKept.join(
+      TextAnalysis.quality(langKept, "id", "text_clean")
+        .filter(col("n_chars") >= 100 && col("non_alpha_ratio") <= 0.4)
+        .select("id"),
+      Seq("id"), "left_semi")
+    // fan-in 1: the quality-surviving corpus feeds exact dedup AND the
+    // survivor semi join
+    val (qc, qcRdd) = graft.core.Materialize.stageCutHandle(qKept)
+
+    val ex = qc.join(
+      Dedup.exact(qc, "id", "text_clean").filter(col("keep")).select("id"),
+      Seq("id"), "left_semi")
+    // fan-in 2: exact survivors feed LSH pair generation, cluster
+    // formation, and the survivor semi join
+    val (exc, excRdd) = graft.core.Materialize.stageCutHandle(ex)
+
+    val (pairs, pairsFree) = Dedup.minhashLshPairsHandle(exc, "id", "text_clean")
+    val (clusters, clustersFree) = Dedup.dedupClustersHandle(exc, "id", pairs)
+    val nearKept = exc.join(
+      clusters.filter(col("keep")).select("id"), Seq("id"), "left_semi")
+
+    val trainDocs = nearKept.join(
+      TextAnalysis.hashSplit(nearKept, "id")
+        .filter(col("split") === "train").select("id"),
+      Seq("id"), "left_semi")
+
+    val toks = trainDocs.select(col("id"),
+      graft.functions.TextFns.estimateTokensCol(col("text_clean"))
+        .cast("long").as("n_tokens"))
+    val (packed, packedFree) = Packing.packHandle(toks, "id", "n_tokens", budget)
+
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n")).select(lit(name).as("stage"), col("n"))
+    val stats = stage("input", base)
+      .unionByName(stage("lang_kept", langKept))
+      .unionByName(stage("quality_kept", qc))
+      .unionByName(stage("exact_kept", exc))
+      .unionByName(stage("neardup_kept", nearKept))
+      .unionByName(stage("train_split", trainDocs))
+      .unionByName(stage("packed", packed))
+
+    val cleanup: () => Unit = () => {
+      pairsFree(); clustersFree(); packedFree()
+      qcRdd.unpersist(blocking = false)
+      excRdd.unpersist(blocking = false)
+      ()
+    }
+    (packed, stats, cleanup)
+  }
+}

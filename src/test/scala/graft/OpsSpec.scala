@@ -753,6 +753,36 @@ class OpsSpec extends SparkSpec {
     assert(sub === s1.filter(_._1 < 25))
   }
 
+  test("curation funnel: monotone retention, contiguous packing, clean teardown") {
+    import graft.ops.Curation
+    docs.count() // materialize the fixture's own cache before the snapshot
+    val preCaches = spark.sparkContext.getPersistentRDDs.keySet
+    val (packed, stats, cleanup) = Curation.curateHandle(docs, "doc_id", "text")
+    val st = stats.collect().map(r => r.getString(0) -> r.getLong(1))
+    val order = Seq("input", "lang_kept", "quality_kept", "exact_kept",
+      "neardup_kept", "train_split", "packed")
+    assert(st.map(_._1).toSeq === order)
+    val byName = st.toMap
+    // every gate only removes documents; packing preserves the train set
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(byName(a) >= byName(b), s"$a -> $b grew")
+    }
+    assert(byName("train_split") === byName("packed"))
+    assert(byName("packed") > 0)
+    // offsets are the exclusive prefix sum in id order: contiguous, gapless
+    val rows = packed.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foldLeft(0L) { case (expectOff, (_, n, off, bin)) =>
+      assert(off === expectOff)
+      assert(bin === off / 2048)
+      off + n
+    }
+    cleanup()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preCaches
+    assert(leaked.isEmpty,
+      s"funnel teardown must release every cache it pinned, leaked: $leaked")
+  }
+
   test("char entropy: closed-form values, empty docs, uniform vs degenerate") {
     val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, ""), (5L, null))
       .toDF("doc_id", "text")
