@@ -241,6 +241,10 @@ object SparkEntry {
     // signal; integer-count ln arithmetic, exactly SQL-replayable
     "q_entropy" -> ((s, d) =>
       TextAnalysis.charEntropy(s.read.parquet(t(d, "documents")), "doc_id", "text")),
+    // corpus profile: exact per-source length percentiles via the
+    // histogram + cumulative-window shape (never buffers a group)
+    "q_profile" -> ((s, d) =>
+      graft.ops.Profile.percentiles(s.read.parquet(t(d, "documents")), "source", "n_chars")),
     // deterministic salted-hash train/val/test assignment — stable under
     // corpus growth, no shuffle; the oracle is the same md5-prefix compare
     "q_hash_split" -> ((s, d) =>
@@ -811,6 +815,12 @@ object SparkEntry {
         |    ELSE round(length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0
         |      / length(no_ws), 4) END AS non_alpha_ratio
         |FROM w""".stripMargin,
+    "q_profile" ->
+      """SELECT source AS stratum, count(*)::BIGINT AS n_rows,
+        |  round(avg(n_chars::DOUBLE), 4) AS mean,
+        |  round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars::DOUBLE, 0.95), 4) AS p95
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id,

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling: exact per-stratum percentiles of a DISCRETE-valued
+  * column (lengths, token counts, quality scores×10⁴ — the distribution
+  * reports a data team reads before choosing curation thresholds).
+  *
+  * Spark's built-in exact `percentile` buffers every group value in
+  * executor memory — O(rows per stratum), a non-starter at 100 TB — and
+  * `percentile_approx` is approximate. For discrete values there is an
+  * exact shape that scales: aggregate the (stratum, value) HISTOGRAM
+  * first (partial-agg-friendly; its size is bounded by the value domain,
+  * not the corpus), then read each percentile off the cumulative
+  * histogram with linear interpolation between the two bracketing order
+  * statistics — byte-identical to `quantile_cont` / Spark `percentile`
+  * semantics: for p over n values, h = p·(n−1), result =
+  * x_⌊h⌋ + (h−⌊h⌋)·(x_⌈h⌉ − x_⌊h⌋).
+  *
+  * The only window runs over the per-stratum histogram (domain-bounded,
+  * thousands of rows), never over documents.
+  */
+object Profile {
+
+  /** One row per stratum: n rows, mean, and one `p<pct>` column per
+    * requested percentile (exact, interpolated). `ps` values must be in
+    * [0, 1]; column names are `p50`-style (percent, trailing-zero-free:
+    * 0.925 → `p92_5`). */
+  def percentiles(df: DataFrame, strataCol: String, valueCol: String,
+                  ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad percentiles: $ps")
+    val hist = df
+      .groupBy(col(strataCol).as("stratum"), col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.partitionBy("stratum").orderBy("v")))
+    val totals = cum.groupBy("stratum").agg(
+      sum("c").as("n"), sum(col("v") * col("c")).as("sv"))
+    val j = cum.join(totals, Seq("stratum"))
+    // per percentile: the two bracketing order statistics are min-v with
+    // cumulative count past ⌊h⌋ / ⌈h⌉ (0-based index i lives at cum ≥ i+1)
+    val pcols = ps.map { p =>
+      val h = lit(p) * (col("n") - 1)
+      val lo = min(when(col("cum") >= floor(h) + 1, col("v")))
+      val hi = min(when(col("cum") >= ceil(h) + 1, col("v")))
+      val name = {
+        val pct = p * 100
+        val s = if (pct == math.floor(pct)) f"${pct.toLong}" else f"$pct%.4f".reverse.dropWhile(_ == '0').reverse.replace(".", "_")
+        s"p$s"
+      }
+      round(lo + (min(h) - floor(min(h))) * (hi - lo), 4).as(name)
+    }
+    val aggs = Seq(min(col("n")).as("n_rows"),
+      round(min(col("sv")) / min(col("n")), 4).as("mean")) ++ pcols
+    j.groupBy("stratum").agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -753,6 +753,27 @@ class OpsSpec extends SparkSpec {
     assert(sub === s1.filter(_._1 < 25))
   }
 
+  test("histogram percentiles: closed-form values and parity with built-in percentile") {
+    import graft.ops.Profile
+    // n=4 values 1..4: p50 at h=1.5 -> 2.5; p95 at h=2.85 -> 3.85
+    val d = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 7))
+      .toDF("src", "len")
+    val got = Profile.percentiles(d, "src", "len")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("a") === ((4L, 2.5, 2.5, 3.85)))
+    assert(got("b") === ((1L, 7.0, 7.0, 7.0)))
+    // and byte-parity with Spark's buffering built-in on the real fixture
+    val mine = Profile.percentiles(docs, "source", "n_chars")
+      .select("stratum", "p50", "p95")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val ref = docs.groupBy("source")
+      .agg(round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.95)"), 4).as("p95"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(mine === ref)
+  }
+
   test("curation funnel: monotone retention, contiguous packing, clean teardown") {
     import graft.ops.Curation
     docs.count() // materialize the fixture's own cache before the snapshot
