@@ -121,6 +121,19 @@ class LinkerSpec extends SparkSpec {
     assert(got.forall(_._2 == "v000"), "one chain => one component rooted at min")
   }
 
+  test("large-star/small-star scopes labels per key (shared vertex names)") {
+    import spark.implicits._
+    // the same vertex names exist under both keys; edges join them only
+    // under k1 — k2's copies must stay singletons
+    val vs = Seq(("k1", "a"), ("k1", "b"), ("k2", "a"), ("k2", "b"))
+      .toDF("key", "v")
+    val es = Seq(("k1", "a", "b")).toDF("key", "a", "b")
+    val got = ConnectedComponents.runBigStar(vs, es)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(got === Map(("k1", "a") -> "a", ("k1", "b") -> "a",
+      ("k2", "a") -> "a", ("k2", "b") -> "b"))
+  }
+
   test("large-star/small-star: ghosts bridge, singletons self-label, empty edges") {
     import spark.implicits._
     val vs = Seq(("k", "a"), ("k", "b"), ("k", "z")).toDF("key", "v")
