@@ -29,6 +29,44 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
+  /** Closed-form cluster oracle for the planted-duplicate corpus, shared
+    * verbatim by q_dedup_clusters (min-label CC) and q_cc_bigstar
+    * (large-star/small-star) so the two paths are gated by byte-identical
+    * expectations. */
+  private val dedupClustersOracleSql: String =
+    """WITH c AS (
+      |  SELECT vec_id FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id < 20
+      |)
+      |SELECT CAST(vec_id AS VARCHAR) AS id,
+      |  CASE WHEN vec_id < 20
+      |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
+      |       WHEN vec_id >= 1000000
+      |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
+      |       ELSE CAST(vec_id AS VARCHAR) END AS group_id,
+      |  CAST(vec_id AS VARCHAR) = CASE WHEN vec_id < 20
+      |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
+      |       WHEN vec_id >= 1000000
+      |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
+      |       ELSE CAST(vec_id AS VARCHAR) END AS keep
+      |FROM c""".stripMargin
+
+  /** Memoized curation funnel per sf-dir — q_curate_pack and
+    * q_curate_stats read the same run (the funnel eagerly materializes
+    * its two fan-in corpora; building it once per session is the same
+    * sharing discipline as [[kg]]). The cleanup thunk is deliberately
+    * dropped: the caches live for the session, and loops that sweep
+    * (Bench) only force a lineage recompute, never a failure. */
+  private val curateCache = scala.collection.concurrent.TrieMap[String,
+    (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+  private def curated(s: SparkSession, d: String) =
+    curateCache.getOrElseUpdate(d, {
+      val (packed, stats, _) = graft.ops.Curation.curateHandle(
+        s.read.parquet(t(d, "documents")), "doc_id", "text")
+      (packed, stats)
+    })
+
   /** Synthesized per-document source URL for the domain-curation entries
     * (the synthetic corpus has no URL column): doc_id % 10 buckets map to
     * four hosts with uneven shares — 0-5 common, 6-7 alpha, 8 beta,
@@ -375,13 +413,8 @@ object SparkEntry {
     // dedup -> near-dedup -> train split -> pack): one oracle covering
     // the chained semantics of six already-oracled stages plus a
     // recursive-CTE replay of cluster formation
-    "q_curate_pack" -> ((s, d) =>
-      graft.ops.Curation.curate(s.read.parquet(t(d, "documents")), "doc_id", "text")),
-    "q_curate_stats" -> ((s, d) => {
-      val (_, stats, _) = graft.ops.Curation.curateHandle(
-        s.read.parquet(t(d, "documents")), "doc_id", "text")
-      stats
-    }),
+    "q_curate_pack" -> ((s, d) => curated(s, d)._1),
+    "q_curate_stats" -> ((s, d) => curated(s, d)._2),
     // fastText-style source classifier: multinomial NB trained on the
     // even-doc_id half, every document scored and argmax-labeled —
     // integer-count arithmetic, fully SQL-replayable
@@ -849,43 +882,10 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM c a JOIN c b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
-    "q_dedup_clusters" ->
-      """WITH c AS (
-        |  SELECT vec_id FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id < 20
-        |)
-        |SELECT CAST(vec_id AS VARCHAR) AS id,
-        |  CASE WHEN vec_id < 20
-        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
-        |       WHEN vec_id >= 1000000
-        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
-        |       ELSE CAST(vec_id AS VARCHAR) END AS group_id,
-        |  CAST(vec_id AS VARCHAR) = CASE WHEN vec_id < 20
-        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
-        |       WHEN vec_id >= 1000000
-        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
-        |       ELSE CAST(vec_id AS VARCHAR) END AS keep
-        |FROM c""".stripMargin,
+    "q_dedup_clusters" -> dedupClustersOracleSql,
     // the large-star/small-star path must produce byte-identical clusters
-    "q_cc_bigstar" ->
-      """WITH c AS (
-        |  SELECT vec_id FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id FROM embeddings WHERE vec_id < 20
-        |)
-        |SELECT CAST(vec_id AS VARCHAR) AS id,
-        |  CASE WHEN vec_id < 20
-        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
-        |       WHEN vec_id >= 1000000
-        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
-        |       ELSE CAST(vec_id AS VARCHAR) END AS group_id,
-        |  CAST(vec_id AS VARCHAR) = CASE WHEN vec_id < 20
-        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id + 1000000 AS VARCHAR))
-        |       WHEN vec_id >= 1000000
-        |         THEN least(CAST(vec_id AS VARCHAR), CAST(vec_id - 1000000 AS VARCHAR))
-        |       ELSE CAST(vec_id AS VARCHAR) END AS keep
-        |FROM c""".stripMargin,
+    // — one shared string, so the equivalence can never silently diverge
+    "q_cc_bigstar" -> dedupClustersOracleSql,
     // assignment replayed exactly: seed centroids are the vec_id<8
     // embeddings, so argmax-cosine (ties toward the lower seed id) is the
     // same double arithmetic both engines run; groups use the planted-dup
@@ -1394,12 +1394,12 @@ object SparkEntry {
         |    ln(nc.n_c::DOUBLE) - ln(n.n::DOUBLE)
         |      + coalesce(inv.s1, 0.0::DOUBLE)
         |      + coalesce(dt.n_oov, 0)::DOUBLE * ln(1.0::DOUBLE)
-        |      - coalesce(dt.n_d, 0)::DOUBLE * ln(ctot.cnt_c::DOUBLE + (vs.v + 1)::DOUBLE * 1.0::DOUBLE) AS s
+        |      - coalesce(dt.n_d, 0)::DOUBLE * ln(coalesce(ctot.cnt_c, 0)::DOUBLE + (vs.v + 1)::DOUBLE * 1.0::DOUBLE) AS s
         |  FROM documents d
         |  CROSS JOIN nc
         |  LEFT JOIN doctot dt ON d.doc_id = dt.doc_id
         |  LEFT JOIN inv ON inv.doc_id = d.doc_id AND inv.c = nc.c
-        |  JOIN ctot ON ctot.c = nc.c
+        |  LEFT JOIN ctot ON ctot.c = nc.c
         |  CROSS JOIN n CROSS JOIN vs
         |), ranked AS (
         |  SELECT doc_id, c, n_d, n_oov, s,

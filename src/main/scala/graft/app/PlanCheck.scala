@@ -16,7 +16,11 @@ object PlanCheck {
       "q_repetition", "q_dup_spans", "q_dupspan_removal", "q_bm25", "q_tfidf", "q_line_dedup", "q_strat_sample",
       "q_sessionize", "q_asof_join", "q_dsir_weights", "q_lm_ppl",
       "q_clean_text", "q_url_scan", "q_domain_stats", "q_domain_filter",
-      "q_nb_classify", "q_cc_bigstar", "q_entropy")
+      "q_nb_classify", "q_entropy")
+    // q_cc_bigstar is deliberately absent: dedupClustersHandle stageCuts
+    // the verified pair table and runs the whole star-contraction loop at
+    // DataFrame-construction time, so its "plan" is just a cached-RDD
+    // scan — same reason q_dedup_clusters/q_semantic_dedup are absent
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")

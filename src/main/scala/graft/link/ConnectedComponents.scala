@@ -138,7 +138,7 @@ object ConnectedComponents {
       val large = nbrs.join(lmin, Seq("key", "u"))
         .filter(col("v") > col("u"))
         .select(col("key"), col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .distinct() // no self-pair guard needed: m <= u < v throughout
       // SMALL-STAR: after large-star every neighbor of u is < u, so the
       // closed-neighborhood minimum is just min(v); u itself re-attaches.
       val smin = large.groupBy("key", "u").agg(min("v").as("m"))

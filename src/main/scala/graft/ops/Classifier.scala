@@ -96,7 +96,10 @@ object Classifier {
       .crossJoin(broadcast(nc.select(col("c"))))
       .join(inv, Seq("id", "c"), "left")
       .join(broadcast(nc), Seq("c"))
-      .join(broadcast(ctot), Seq("c"))
+      // LEFT: a class whose training slice contributes zero tokens has no
+      // ctot row but keeps its prior — an inner join would silently delete
+      // it from every document's candidate set
+      .join(broadcast(ctot), Seq("c"), "left")
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(vsize))
       .select(col("id"), col("c"), col("n_d"), col("n_oov"),
@@ -104,7 +107,8 @@ object Classifier {
           + coalesce(col("s1"), lit(0.0))
           + col("n_oov").cast("double") * log(lit(addK))
           - col("n_d").cast("double")
-            * log(col("cnt_c").cast("double") + (col("v") + lit(1)).cast("double") * lit(addK)))
+            * log(coalesce(col("cnt_c"), lit(0L)).cast("double")
+              + (col("v") + lit(1)).cast("double") * lit(addK)))
           .as("s"))
 
     // argmax with deterministic ties: min of (−s, c) picks the highest

@@ -31,7 +31,10 @@ object Profile {
   def percentiles(df: DataFrame, strataCol: String, valueCol: String,
                   ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad percentiles: $ps")
-    val hist = df
+    // NULL values are ignored, matching Spark's built-in `percentile` and
+    // DuckDB's quantile_cont (a NULL histogram row would otherwise sort
+    // first and shift every order statistic)
+    val hist = df.filter(col(valueCol).isNotNull)
       .groupBy(col(strataCol).as("stratum"), col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
@@ -45,11 +48,10 @@ object Profile {
       val h = lit(p) * (col("n") - 1)
       val lo = min(when(col("cum") >= floor(h) + 1, col("v")))
       val hi = min(when(col("cum") >= ceil(h) + 1, col("v")))
-      val name = {
-        val pct = p * 100
-        val s = if (pct == math.floor(pct)) f"${pct.toLong}" else f"$pct%.4f".reverse.dropWhile(_ == '0').reverse.replace(".", "_")
-        s"p$s"
-      }
+      // exact decimal rendering: BigDecimal(p.toString) avoids the
+      // double artifact where 0.29*100 = 28.999…96 (name "p29_", not "p29")
+      val name = "p" + (BigDecimal(p.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString.replace(".", "_")
       round(lo + (min(h) - floor(min(h))) * (hi - lo), 4).as(name)
     }
     val aggs = Seq(min(col("n")).as("n_rows"),

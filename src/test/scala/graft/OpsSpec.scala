@@ -755,8 +755,10 @@ class OpsSpec extends SparkSpec {
 
   test("histogram percentiles: closed-form values and parity with built-in percentile") {
     import graft.ops.Profile
-    // n=4 values 1..4: p50 at h=1.5 -> 2.5; p95 at h=2.85 -> 3.85
-    val d = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 7))
+    // n=4 values 1..4: p50 at h=1.5 -> 2.5; p95 at h=2.85 -> 3.85;
+    // NULLs are ignored like the built-in and quantile_cont
+    val d = Seq(("a", Option(1)), ("a", Option(2)), ("a", Option(3)),
+        ("a", Option(4)), ("a", None: Option[Int]), ("b", Option(7)))
       .toDF("src", "len")
     val got = Profile.percentiles(d, "src", "len")
       .collect().map(r => r.getString(0) ->
@@ -852,6 +854,12 @@ class OpsSpec extends SparkSpec {
     val out2 = Classifier.naiveBayes(score, "doc_id", "text", train2, "source", "text")
       .collect().map(r => r.getAs[String]("pred")).toSet
     assert(out2 === Set("a"))
+    // a class with ZERO training tokens keeps its prior in every
+    // candidate set (regression: an inner ctot join deleted it outright)
+    val train3 = Seq((0L, "", "a"), (1L, "xray", "b")).toDF("doc_id", "text", "source")
+    val out3 = Classifier.naiveBayes(score, "doc_id", "text", train3, "source", "text")
+      .collect().map(r => r.getAs[String]("pred")).toSet
+    assert(out3 === Set("a"))
   }
 
   test("minhash signature: more similar texts share more signature positions") {
