@@ -29,6 +29,40 @@ object SparkEntry {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
+  /** Fixed side-write location for the KG build's stage outputs.
+    *
+    * [[exportForOracles]] (called by [[graft.Verify]] before the query
+    * loop) dumps the build's stage tables here so the DuckDB oracles can
+    * externally REPLAY the downstream algebra over them with
+    * `read_parquet()` on absolute paths — the same side-channel trick
+    * q_jsonl_roundtrip uses. This converts the kg_* entries from
+    * rows-only self-refereed checks into hash-compared external oracles:
+    * kg_mapping replays the ENTIRE linker (mention agg → prefix blocking
+    * → token_set_ratio ≥ 95 → recursive-CTE connected components →
+    * maximality resolution → rerank assignment) in pure SQL from the logs
+    * export alone; kg_triples / kg_nodes replay the materializer's
+    * resolve + self-loop + dedup algebra over logs + the (itself
+    * oracle-verified) mapping; kg_documents / kg_estimate replay the
+    * registry/estimator aggregations over the chunks export;
+    * kg_stats / kg_entity_catalog replay the dashboard and salted-catalog
+    * rollups over the final tables. Only extraction and the recursive
+    * chunker remain spec-gated (their semantics are not SQL-expressible).
+    *
+    * One fixed path, overwritten per Verify run — the verify process
+    * builds exactly one sfDir, and oracles run after all queries. */
+  val OracleExportDir = "/tmp/graft-oracle-export"
+
+  def exportForOracles(spark: SparkSession, sfDir: String): Unit = {
+    val r = kg(spark, sfDir)
+    def w(df: DataFrame, name: String): Unit =
+      df.coalesce(4).write.mode("overwrite").parquet(s"$OracleExportDir/$name")
+    w(r.logs, "logs"); w(r.mapping, "mapping"); w(r.chunks, "chunks")
+    w(r.nodes, "nodes"); w(r.edges, "edges"); w(r.properties, "properties")
+  }
+
+  /** `read_parquet` over a stage export (see [[OracleExportDir]]). */
+  private def rp(name: String) = s"read_parquet('$OracleExportDir/$name/*.parquet')"
+
   /** Closed-form cluster oracle for the planted-duplicate corpus, shared
     * verbatim by q_dedup_clusters (min-label CC) and q_cc_bigstar
     * (large-star/small-star) so the two paths are gated by byte-identical
@@ -660,6 +694,347 @@ object SparkEntry {
     })
   )
 
+  // ---------------------------------------------------------------------
+  // Composed KG oracles over the Verify-time stage exports (see
+  // OracleExportDir). Shared CTE fragments are built once here.
+  // ---------------------------------------------------------------------
+
+  /** Two-tier name resolution (GraphTables.resolveNames twin): doc-level
+    * default (chunk_id = -1) with per-chunk override. Emits CTEs `map_d`
+    * and `map_c` over the mapping export. */
+  private lazy val mappingTiersCte: String =
+    s"""map_d AS (SELECT doc_id, name_norm, canonical_norm, canonical
+       |  FROM ${rp("mapping")} WHERE chunk_id = -1),
+       |map_c AS (SELECT doc_id, chunk_id, name_norm, canonical_norm, canonical
+       |  FROM ${rp("mapping")} WHERE chunk_id <> -1)""".stripMargin
+
+  /** Node-mention resolution (GraphTables node path twin): per-mention
+    * canonical + is_visual flag, then the level-0 node grouping. Emits
+    * `nres` (resolved node mentions) and `l0` (level-0 nodes with the
+    * engine's md5 ids). */
+  private lazy val level0NodesCte: String =
+    s"""$mappingTiersCte,
+       |nmen AS (
+       |  SELECT doc_id, chunk_id,
+       |    lower(trim(n.name)) AS name_norm,
+       |    coalesce(is_visual AND lower(trim(main_visual_entity)) = lower(trim(n.name)), false) AS viz
+       |  FROM (SELECT doc_id, chunk_id, is_visual, main_visual_entity, unnest(nodes) AS n
+       |        FROM ${rp("logs")})),
+       |nres AS (
+       |  SELECT m.doc_id,
+       |    coalesce(c.canonical_norm, d.canonical_norm) AS canonical_norm,
+       |    coalesce(c.canonical, d.canonical) AS canonical,
+       |    m.viz
+       |  FROM nmen m
+       |  LEFT JOIN map_d d ON m.doc_id = d.doc_id AND m.name_norm = d.name_norm
+       |  LEFT JOIN map_c c ON m.doc_id = c.doc_id AND m.chunk_id = c.chunk_id
+       |    AND m.name_norm = c.name_norm),
+       |l0 AS (
+       |  SELECT md5('node' || chr(1) || doc_id || chr(1) || canonical_norm || chr(1) || '0') AS id,
+       |    doc_id, canonical_norm, min(canonical) AS name, 0 AS level, max(viz) AS is_visual
+       |  FROM nres GROUP BY doc_id, canonical_norm)""".stripMargin
+
+  /** kg_triples replay: edge mentions resolved through the two-tier
+    * mapping, self-loops excluded, endpoints required to have a NODE row
+    * (node mentions only), directional distinct — GraphTables'
+    * edge/triple algebra in SQL. */
+  private lazy val kgTriplesSql: String =
+    s"""WITH $level0NodesCte,
+       |emen AS (
+       |  SELECT doc_id, chunk_id, e.relationship AS pred,
+       |    lower(trim(e.source)) AS sn, lower(trim(e.target)) AS dn
+       |  FROM (SELECT doc_id, chunk_id, unnest(edges) AS e FROM ${rp("logs")})),
+       |eres AS (
+       |  SELECT m.doc_id, m.pred,
+       |    coalesce(cs.canonical_norm, ds.canonical_norm) AS s_cn,
+       |    coalesce(cs.canonical, ds.canonical) AS s_c,
+       |    coalesce(cd.canonical_norm, dd.canonical_norm) AS d_cn,
+       |    coalesce(cd.canonical, dd.canonical) AS d_c
+       |  FROM emen m
+       |  LEFT JOIN map_d ds ON m.doc_id = ds.doc_id AND m.sn = ds.name_norm
+       |  LEFT JOIN map_c cs ON m.doc_id = cs.doc_id AND m.chunk_id = cs.chunk_id AND m.sn = cs.name_norm
+       |  LEFT JOIN map_d dd ON m.doc_id = dd.doc_id AND m.dn = dd.name_norm
+       |  LEFT JOIN map_c cd ON m.doc_id = cd.doc_id AND m.chunk_id = cd.chunk_id AND m.dn = cd.name_norm),
+       |nset AS (SELECT DISTINCT doc_id, canonical_norm FROM l0)
+       |SELECT DISTINCT e.doc_id, e.s_c AS subj, e.pred, e.d_c AS obj
+       |FROM eres e
+       |JOIN nset ns ON e.doc_id = ns.doc_id AND e.s_cn = ns.canonical_norm
+       |JOIN nset nd ON e.doc_id = nd.doc_id AND e.d_cn = nd.canonical_norm
+       |WHERE e.s_cn IS NOT NULL AND e.d_cn IS NOT NULL AND e.s_cn <> e.d_cn""".stripMargin
+
+  /** kg_nodes replay: level-0 identity/name/level/is_visual recomputed
+    * from logs + mapping; community_id (Leiden output — not
+    * SQL-expressible) and the level ≥ 1 community/document rows are taken
+    * from the nodes export (any drift in the level-0 set breaks the inner
+    * join row count, so the recomputed part stays load-bearing). */
+  private lazy val kgNodesSql: String =
+    s"""WITH $level0NodesCte,
+       |expn AS (SELECT id, name, level, is_visual, community_id FROM ${rp("nodes")})
+       |SELECT l0.id, l0.name, l0.level, l0.is_visual, e.community_id
+       |FROM l0 JOIN expn e ON l0.id = e.id
+       |UNION ALL
+       |SELECT id, name, level, is_visual, community_id FROM expn WHERE level >= 1""".stripMargin
+
+  /** kg_mapping replay: the ENTIRE linker in SQL from the logs export —
+    * single-scan mention aggregation (Linker.mentionAgg), doc-level name
+    * table, 6-char token-prefix blocking, Levenshtein-based
+    * token_set_ratio ≥ 95 (TextFns.tokenSetRatio twin on DuckDB
+    * `levenshtein`), recursive-CTE connected components, token-subset
+    * maximality resolution (Linker.resolveCluster), containment-gathered
+    * candidate context, and the deterministic rerank (token-overlap
+    * cosine) for ambiguous doc-level defaults + per-chunk overrides. */
+  private lazy val kgMappingSql: String = {
+    // token list of an arbitrary string s: lowercase alnum runs, distinct
+    def rtoks(s: String) =
+      s"""list_distinct(list_filter(regexp_split_to_array(
+         |      regexp_replace(lower($s), '[^a-z0-9]+', ' ', 'g'), ' '), t -> t <> ''))""".stripMargin
+    def ratio(x: String, y: String) =
+      s"""CASE WHEN length($x) + length($y) = 0 THEN 100
+         |  ELSE CAST(floor(100.0 * (length($x) + length($y) - levenshtein($x, $y))
+         |    / (length($x) + length($y)) + 0.5) AS INT) END""".stripMargin
+    s"""WITH RECURSIVE
+       |men AS (
+       |  SELECT doc_id, chunk_id, n.name AS display, n.description AS description, false AS is_prop
+       |  FROM (SELECT doc_id, chunk_id, unnest(nodes) AS n FROM ${rp("logs")})
+       |  UNION ALL
+       |  SELECT doc_id, chunk_id, e.source, e.relationship, false
+       |  FROM (SELECT doc_id, chunk_id, unnest(edges) AS e FROM ${rp("logs")})
+       |  UNION ALL
+       |  SELECT doc_id, chunk_id, e.target, e.relationship, false
+       |  FROM (SELECT doc_id, chunk_id, unnest(edges) AS e FROM ${rp("logs")})
+       |  UNION ALL
+       |  SELECT doc_id, chunk_id, p.entity_name, array_to_string(p.properties, ' '), true
+       |  FROM (SELECT doc_id, chunk_id, unnest(properties) AS p FROM ${rp("logs")})),
+       |m2 AS (
+       |  SELECT doc_id, chunk_id, display, description, is_prop,
+       |    lower(trim(display)) AS name_norm
+       |  FROM men WHERE lower(trim(display)) <> ''),
+       |ca AS (
+       |  SELECT doc_id, chunk_id, name_norm, min(display) AS display,
+       |    list_sort(list_distinct(list(description))) AS descs_set,
+       |    list_distinct(list(description) FILTER (WHERE NOT is_prop)) AS ne_set,
+       |    list_distinct(list(description) FILTER (WHERE is_prop)) AS prop_set
+       |  FROM m2 GROUP BY doc_id, chunk_id, name_norm),
+       |nm AS (
+       |  SELECT doc_id, name_norm, min(display) AS display,
+       |    array_to_string(list_sort(list_distinct(flatten(list(descs_set)))), ' ') AS descs,
+       |    array_to_string(list_sort(list_distinct(flatten(list(ne_set)))), ' ') AS ne_descs,
+       |    array_to_string(list_sort(list_distinct(flatten(list(prop_set)))), ' ') AS prop_descs
+       |  FROM ca GROUP BY doc_id, name_norm),
+       |tk AS (
+       |  SELECT doc_id, name_norm, list_sort(${rtoks("name_norm")}) AS ts
+       |  FROM nm),
+       |pt AS (
+       |  SELECT DISTINCT doc_id, name_norm, unnest(list_distinct(list_transform(
+       |    list_filter(regexp_split_to_array(
+       |      regexp_replace(name_norm, '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> ''),
+       |    t -> t[1:6]))) AS tok
+       |  FROM nm),
+       |pr0 AS (
+       |  SELECT a.doc_id, a.name_norm AS a, b.name_norm AS b
+       |  FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.name_norm < b.name_norm
+       |  GROUP BY ALL),
+       |pr1 AS (
+       |  SELECT p.doc_id, p.a, p.b,
+       |    (list_has_all(tb.ts, ta.ts) OR list_has_all(ta.ts, tb.ts)) AS subs,
+       |    array_to_string(list_sort(list_filter(ta.ts, x -> list_contains(tb.ts, x))), ' ') AS si,
+       |    array_to_string(list_sort(list_filter(ta.ts, x -> NOT list_contains(tb.ts, x))), ' ') AS dda,
+       |    array_to_string(list_sort(list_filter(tb.ts, x -> NOT list_contains(ta.ts, x))), ' ') AS ddb
+       |  FROM pr0 p
+       |  JOIN tk ta ON p.doc_id = ta.doc_id AND p.a = ta.name_norm
+       |  JOIN tk tb ON p.doc_id = tb.doc_id AND p.b = tb.name_norm),
+       |pr2 AS (
+       |  SELECT doc_id, a, b, subs, si,
+       |    CASE WHEN dda = '' THEN si WHEN si = '' THEN dda ELSE si || ' ' || dda END AS s2,
+       |    CASE WHEN ddb = '' THEN si WHEN si = '' THEN ddb ELSE si || ' ' || ddb END AS s3
+       |  FROM pr1),
+       |prs AS (
+       |  SELECT doc_id, a, b FROM pr2
+       |  WHERE subs OR greatest(
+       |    ${ratio("si", "s2")},
+       |    ${ratio("si", "s3")},
+       |    ${ratio("s2", "s3")}) >= 95),
+       |ed AS (SELECT doc_id, a, b FROM prs UNION ALL SELECT doc_id, b AS a, a AS b FROM prs),
+       |reach AS (
+       |  SELECT doc_id, name_norm AS id, name_norm AS comp FROM nm
+       |  UNION
+       |  SELECT e.doc_id, e.a AS id, r.comp
+       |  FROM ed e JOIN reach r ON e.doc_id = r.doc_id AND e.b = r.id),
+       |cmp AS (SELECT doc_id, id AS name_norm, min(comp) AS component FROM reach GROUP BY doc_id, id),
+       |mem AS (
+       |  SELECT c.doc_id, c.component, c.name_norm, n.display, n.descs, t.ts
+       |  FROM cmp c
+       |  JOIN nm n ON c.doc_id = n.doc_id AND c.name_norm = n.name_norm
+       |  JOIN tk t ON c.doc_id = t.doc_id AND c.name_norm = t.name_norm),
+       |mx AS (
+       |  SELECT m.doc_id, m.component, m.name_norm, m.display, m.ts FROM mem m
+       |  WHERE NOT EXISTS (SELECT 1 FROM mem o
+       |    WHERE o.doc_id = m.doc_id AND o.component = m.component
+       |      AND o.name_norm <> m.name_norm
+       |      AND list_has_all(o.ts, m.ts) AND o.ts <> m.ts)),
+       |nonmax AS (
+       |  SELECT m.* FROM mem m
+       |  WHERE NOT EXISTS (SELECT 1 FROM mx x
+       |    WHERE x.doc_id = m.doc_id AND x.component = m.component
+       |      AND x.name_norm = m.name_norm)),
+       |cnd0 AS (
+       |  SELECT m.doc_id, m.name_norm, x.name_norm AS cand_norm, x.display AS cand_display,
+       |    list_has_all(x.ts, m.ts) AS is_sup
+       |  FROM nonmax m JOIN mx x ON m.doc_id = x.doc_id AND m.component = x.component),
+       |cnd1 AS (
+       |  SELECT *, sum(CASE WHEN is_sup THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id, name_norm) AS n_sup
+       |  FROM cnd0),
+       |cnd AS (
+       |  SELECT doc_id, name_norm, cand_norm, cand_display FROM cnd1
+       |  WHERE (n_sup > 0 AND is_sup) OR n_sup = 0),
+       |cnt AS (SELECT doc_id, name_norm, count(*) AS n_c FROM cnd GROUP BY 1, 2),
+       |unamb AS (
+       |  SELECT doc_id, -1 AS chunk_id, name_norm, name_norm AS canonical_norm, display AS canonical
+       |  FROM mx
+       |  UNION ALL
+       |  SELECT c.doc_id, -1, c.name_norm, c.cand_norm, c.cand_display
+       |  FROM cnd c JOIN cnt ON c.doc_id = cnt.doc_id AND c.name_norm = cnt.name_norm
+       |  WHERE cnt.n_c = 1),
+       |amb AS (
+       |  SELECT c.* FROM cnd c JOIN cnt ON c.doc_id = cnt.doc_id AND c.name_norm = cnt.name_norm
+       |  WHERE cnt.n_c > 1),
+       |cn AS (SELECT DISTINCT doc_id, cand_norm FROM amb),
+       |gp AS (
+       |  SELECT cn.doc_id, cn.cand_norm,
+       |    trim(concat_ws(' ',
+       |      CASE WHEN contains(n.name_norm, cn.cand_norm) THEN n.ne_descs END,
+       |      CASE WHEN n.name_norm = cn.cand_norm THEN n.prop_descs END)) AS piece
+       |  FROM cn JOIN nm n ON cn.doc_id = n.doc_id),
+       |g2 AS (
+       |  SELECT doc_id, cand_norm,
+       |    array_to_string(list_sort(list_distinct(list(piece))), ' ') AS cand_descs
+       |  FROM gp WHERE piece <> '' GROUP BY 1, 2),
+       |ambx AS (
+       |  SELECT a.doc_id, a.name_norm, a.cand_norm, a.cand_display,
+       |    coalesce(g2.cand_descs, '') AS cand_descs
+       |  FROM amb a LEFT JOIN g2 ON a.doc_id = g2.doc_id AND a.cand_norm = g2.cand_norm),
+       |da1 AS (
+       |  SELECT x.doc_id, x.name_norm, x.cand_norm, x.cand_display,
+       |    ${rtoks("n.descs")} AS qt,
+       |    ${rtoks("x.cand_descs || ' ' || x.cand_norm")} AS tt
+       |  FROM ambx x JOIN nm n ON x.doc_id = n.doc_id AND x.name_norm = n.name_norm),
+       |da2 AS (
+       |  SELECT doc_id, name_norm, cand_norm, cand_display,
+       |    CASE WHEN len(qt) = 0 OR len(tt) = 0 THEN 0.0
+       |         ELSE len(list_intersect(qt, tt)) / sqrt(len(qt) * 1.0 * len(tt)) END AS score
+       |  FROM da1),
+       |docamb AS (
+       |  SELECT doc_id, -1 AS chunk_id, name_norm, cand_norm AS canonical_norm,
+       |    cand_display AS canonical
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, name_norm
+       |          ORDER BY score DESC, cand_norm DESC) AS rn FROM da2)
+       |  WHERE rn = 1),
+       |oc AS (SELECT doc_id, chunk_id, name_norm,
+       |         array_to_string(descs_set, ' ') AS odescs FROM ca),
+       |ov1 AS (
+       |  SELECT o.doc_id, o.chunk_id, o.name_norm, x.cand_norm, x.cand_display,
+       |    ${rtoks("o.odescs")} AS qt,
+       |    ${rtoks("x.cand_descs || ' ' || x.cand_norm")} AS tt
+       |  FROM oc o JOIN ambx x ON o.doc_id = x.doc_id AND o.name_norm = x.name_norm),
+       |ov2 AS (
+       |  SELECT doc_id, chunk_id, name_norm, cand_norm, cand_display,
+       |    CASE WHEN len(qt) = 0 OR len(tt) = 0 THEN 0.0
+       |         ELSE len(list_intersect(qt, tt)) / sqrt(len(qt) * 1.0 * len(tt)) END AS score
+       |  FROM ov1),
+       |ovr AS (
+       |  SELECT doc_id, chunk_id, name_norm, cand_norm AS canonical_norm,
+       |    cand_display AS canonical
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_id, name_norm
+       |          ORDER BY score DESC, cand_norm DESC) AS rn FROM ov2)
+       |  WHERE rn = 1)
+       |SELECT doc_id, chunk_id, name_norm, canonical_norm, canonical FROM unamb
+       |UNION ALL SELECT doc_id, chunk_id, name_norm, canonical_norm, canonical FROM docamb
+       |UNION ALL SELECT doc_id, chunk_id, name_norm, canonical_norm, canonical FROM ovr""".stripMargin
+  }
+
+  /** Shared CTE chain of the curation-funnel replay (clean -> lang ->
+    * quality -> exact dedup -> near-dedup closure -> train split ->
+    * token count -> packing prefix sum) - q_curate_pack selects the
+    * packed layout from it, q_curate_stats the per-stage counts. */
+  private lazy val curateCtes: String =
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS id, coalesce(text, '') AS t FROM documents
+        |), cln AS (
+        |  SELECT id,
+        |    regexp_replace(nfc_normalize(t),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS tc
+        |  FROM base
+        |), ltoks AS (
+        |  SELECT id, list_filter(regexp_split_to_array(lower(tc), '[^a-z]+'), x -> x <> '') AS tk
+        |  FROM cln
+        |), lsc AS (
+        |  SELECT id, len(tk) AS ntk,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('the','and','of','to','is','in','that','with')))*1.0/len(tk) END AS s_en,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit','ein')))*1.0/len(tk) END AS s_de,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('el','la','de','que','y','es','en','los')))*1.0/len(tk) END AS s_es,
+        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('le','la','de','et','est','les','des','une')))*1.0/len(tk) END AS s_fr
+        |  FROM ltoks
+        |), lk AS (
+        |  SELECT cln.id, tc FROM cln JOIN lsc ON cln.id = lsc.id
+        |  WHERE ntk > 0 AND greatest(s_en, s_de, s_es, s_fr) > 0
+        |    AND list_max([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
+        |                  {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'}])['l'] = 'en'
+        |), qk AS (
+        |  SELECT id, tc FROM (
+        |    SELECT id, tc, regexp_replace(tc, '\s+', '', 'g') AS no_ws FROM lk)
+        |  WHERE length(tc) >= 100
+        |    AND (CASE WHEN length(no_ws) = 0 THEN 1.0
+        |         ELSE round(length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0
+        |           / length(no_ws), 4) END) <= 0.4
+        |), ek AS (
+        |  SELECT id, tc FROM (
+        |    SELECT id, tc, min(id) OVER (PARTITION BY md5(tc)) AS mid FROM qk)
+        |  WHERE id = mid
+        |), w AS (
+        |  SELECT id, list_filter(
+        |    regexp_split_to_array(lower(regexp_replace(tc, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+        |    x -> x <> '') AS toks
+        |  FROM ek
+        |), sh AS (
+        |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS s
+        |  FROM w
+        |), e AS (SELECT id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+        |prs AS (
+        |  SELECT a.id AS ida, b.id AS idb, count(*) AS inter,
+        |    min(a.n_sh) AS na, min(b.n_sh) AS nb
+        |  FROM e a JOIN e b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
+        |), pp AS (
+        |  SELECT ida, idb FROM prs WHERE inter * 1.0 / (na + nb - inter) >= 0.8
+        |), edges2 AS (
+        |  SELECT ida AS a, idb AS b FROM pp UNION ALL SELECT idb, ida FROM pp
+        |), reach AS (
+        |  -- cluster labels are STRING ids in the operator (lexicographic
+        |  -- min member), so the closure must compare VARCHARs
+        |  SELECT id, CAST(id AS VARCHAR) AS comp FROM ek
+        |  UNION
+        |  SELECT e2.a AS id, r.comp FROM edges2 e2 JOIN reach r ON e2.b = r.id
+        |), grp AS (
+        |  SELECT id, min(comp) AS g FROM reach GROUP BY 1
+        |), nk AS (
+        |  SELECT ek.id, tc FROM ek JOIN grp ON ek.id = grp.id
+        |  WHERE CAST(ek.id AS VARCHAR) = grp.g
+        |), tr AS (
+        |  SELECT id, tc FROM nk
+        |  WHERE substr(md5(CAST(id AS VARCHAR) || ':split-v1'), 1, 8) < 'cccccccc'
+        |), tok AS (
+        |  SELECT id,
+        |    CAST(greatest(len(list_filter(regexp_split_to_array(tc, '\s+'), x -> x <> '')),
+        |      CAST(ceil(length(tc) / 4.0) AS INT)) AS BIGINT) AS n_tokens
+        |  FROM tr
+        |), packed AS (
+        |  SELECT id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM tok
+        |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // F8 bbox math: same derived rectangles; min/max commutes past the
     // polygon vertex-order variants, so the oracle needs no CASE on them
@@ -1278,84 +1653,18 @@ object SparkEntry {
     // packing is the exclusive running sum the distributed prefix-sum
     // operator computes. Near-dup candidate recall 1.0 is the same audited
     // assumption q_minhash_lsh's oracle makes.
-    "q_curate_pack" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id AS id, coalesce(text, '') AS t FROM documents
-        |), cln AS (
-        |  SELECT id,
-        |    regexp_replace(nfc_normalize(t),
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]', '', 'g') AS tc
-        |  FROM base
-        |), ltoks AS (
-        |  SELECT id, list_filter(regexp_split_to_array(lower(tc), '[^a-z]+'), x -> x <> '') AS tk
-        |  FROM cln
-        |), lsc AS (
-        |  SELECT id, len(tk) AS ntk,
-        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('the','and','of','to','is','in','that','with')))*1.0/len(tk) END AS s_en,
-        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('der','die','das','und','ist','nicht','mit','ein')))*1.0/len(tk) END AS s_de,
-        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('el','la','de','que','y','es','en','los')))*1.0/len(tk) END AS s_es,
-        |    CASE WHEN len(tk)=0 THEN 0.0 ELSE len(list_filter(tk, x -> x IN ('le','la','de','et','est','les','des','une')))*1.0/len(tk) END AS s_fr
-        |  FROM ltoks
-        |), lk AS (
-        |  SELECT cln.id, tc FROM cln JOIN lsc ON cln.id = lsc.id
-        |  WHERE ntk > 0 AND greatest(s_en, s_de, s_es, s_fr) > 0
-        |    AND list_max([{'s': s_en, 'l': 'en'}, {'s': s_de, 'l': 'de'},
-        |                  {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'}])['l'] = 'en'
-        |), qk AS (
-        |  SELECT id, tc FROM (
-        |    SELECT id, tc, regexp_replace(tc, '\s+', '', 'g') AS no_ws FROM lk)
-        |  WHERE length(tc) >= 100
-        |    AND (CASE WHEN length(no_ws) = 0 THEN 1.0
-        |         ELSE round(length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0
-        |           / length(no_ws), 4) END) <= 0.4
-        |), ek AS (
-        |  SELECT id, tc FROM (
-        |    SELECT id, tc, min(id) OVER (PARTITION BY md5(tc)) AS mid FROM qk)
-        |  WHERE id = mid
-        |), w AS (
-        |  SELECT id, list_filter(
-        |    regexp_split_to_array(lower(regexp_replace(tc, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
-        |    x -> x <> '') AS toks
-        |  FROM ek
-        |), sh AS (
-        |  SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |    ELSE list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) END AS s
-        |  FROM w
-        |), e AS (SELECT id, len(s) AS n_sh, unnest(s) AS g FROM sh),
-        |prs AS (
-        |  SELECT a.id AS ida, b.id AS idb, count(*) AS inter,
-        |    min(a.n_sh) AS na, min(b.n_sh) AS nb
-        |  FROM e a JOIN e b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2
-        |), pp AS (
-        |  SELECT ida, idb FROM prs WHERE inter * 1.0 / (na + nb - inter) >= 0.8
-        |), edges2 AS (
-        |  SELECT ida AS a, idb AS b FROM pp UNION ALL SELECT idb, ida FROM pp
-        |), reach AS (
-        |  -- cluster labels are STRING ids in the operator (lexicographic
-        |  -- min member), so the closure must compare VARCHARs
-        |  SELECT id, CAST(id AS VARCHAR) AS comp FROM ek
-        |  UNION
-        |  SELECT e2.a AS id, r.comp FROM edges2 e2 JOIN reach r ON e2.b = r.id
-        |), grp AS (
-        |  SELECT id, min(comp) AS g FROM reach GROUP BY 1
-        |), nk AS (
-        |  SELECT ek.id, tc FROM ek JOIN grp ON ek.id = grp.id
-        |  WHERE CAST(ek.id AS VARCHAR) = grp.g
-        |), tr AS (
-        |  SELECT id, tc FROM nk
-        |  WHERE substr(md5(CAST(id AS VARCHAR) || ':split-v1'), 1, 8) < 'cccccccc'
-        |), tok AS (
-        |  SELECT id,
-        |    CAST(greatest(len(list_filter(regexp_split_to_array(tc, '\s+'), x -> x <> '')),
-        |      CAST(ceil(length(tc) / 4.0) AS INT)) AS BIGINT) AS n_tokens
-        |  FROM tr
-        |), packed AS (
-        |  SELECT id, n_tokens,
-        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
-        |  FROM tok
-        |)
-        |SELECT id, n_tokens, tok_offset, tok_offset // 2048 AS bin FROM packed""".stripMargin,
+    "q_curate_pack" -> (curateCtes +
+      "\nSELECT id, n_tokens, tok_offset, tok_offset // 2048 AS bin FROM packed"),
+    // stage-retention counts: the same CTE chain, one count per stage —
+    // the intermediate cardinalities of the q_curate_pack replay
+    "q_curate_stats" -> (curateCtes + """
+      |SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n FROM base
+      |UNION ALL SELECT 'lang_kept', count(*) FROM lk
+      |UNION ALL SELECT 'quality_kept', count(*) FROM qk
+      |UNION ALL SELECT 'exact_kept', count(*) FROM ek
+      |UNION ALL SELECT 'neardup_kept', count(*) FROM nk
+      |UNION ALL SELECT 'train_split', count(*) FROM tr
+      |UNION ALL SELECT 'packed', count(*) FROM packed""".stripMargin),
     "q_nb_classify" ->
       """WITH tok AS (
         |  SELECT doc_id, source,
@@ -1505,6 +1814,78 @@ object SparkEntry {
         |                      {'s': s_es, 'l': 'es'}, {'s': s_fr, 'l': 'fr'}])['l']
         |  END AS lang_pred
         |FROM sc""".stripMargin,
+    // ----- KG pipeline: composed oracles over the Verify-time stage
+    // exports (see OracleExportDir scaladoc for the verification chain) ---
+    "kg_mapping" -> kgMappingSql,
+    "kg_triples" -> kgTriplesSql,
+    "kg_nodes" -> kgNodesSql,
+    // logs projection replay (array sizes) — verifies export fidelity +
+    // the projection; extraction itself stays spec-gated
+    "kg_logs" ->
+      s"""SELECT doc_id, chunk_id, is_visual,
+         |  CAST(len(nodes) AS INT) AS n_nodes,
+         |  CAST(len(edges) AS INT) AS n_edges,
+         |  CAST(len(properties) AS INT) AS n_properties
+         |FROM ${rp("logs")}""".stripMargin,
+    // documents registry replay: per-doc chunk/token rollup + engine id
+    "kg_documents" ->
+      s"""SELECT md5('doc' || chr(1) || doc_id) AS id, doc_id AS name,
+         |  CAST(count(*) AS INT) AS chunk_num,
+         |  CAST(sum(token_num) AS INT) AS token_num
+         |FROM ${rp("chunks")} GROUP BY doc_id""".stripMargin,
+    // estimator replay: one aggregation + the reference's cost/time math
+    "kg_estimate" ->
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(token_num), 0) AS BIGINT) AS tok
+         |  FROM ${rp("chunks")}),
+         |c AS (
+         |  SELECT n, tok,
+         |    floor((tok / 1e6 * 5.0 + (tok / 1e6 * 15.0) / 4) * 2.5 * 1e4 + 0.5) / 1e4 AS cost,
+         |    (CASE WHEN n <= 2 THEN 4
+         |          ELSE (n // 2) * 4 + CASE WHEN n % 2 > 0 THEN 4 ELSE 0 END END)
+         |      + n * 4 + n * 4 AS secs
+         |  FROM a)
+         |SELECT n AS num_chunks, tok AS total_tokens, 'gpt-4o' AS model,
+         |  cost AS estimated_cost_usd,
+         |  CASE WHEN secs > 60 THEN
+         |    CAST(floor(secs / 60.0 * 1000 + 0.5) / 1000 AS VARCHAR) || ' minute' ||
+         |      CASE WHEN floor(secs / 60.0 * 1000 + 0.5) / 1000 > 1 THEN 's' ELSE '' END
+         |  ELSE CAST(secs AS VARCHAR) || ' seconds' END AS estimated_time
+         |FROM c""".stripMargin,
+    // dashboard stats replay over the final tables
+    "kg_stats" ->
+      s"""WITH n AS (SELECT * FROM ${rp("nodes")}),
+         |e AS (SELECT * FROM ${rp("edges")}),
+         |p AS (SELECT * FROM ${rp("properties")}),
+         |tot AS (
+         |  SELECT 'total' AS section, 'nodes' AS key, CAST(count(*) AS BIGINT) AS value FROM n
+         |  UNION ALL SELECT 'total', 'edges', count(*) FROM e
+         |  UNION ALL SELECT 'total', 'properties', count(*) FROM p),
+         |lv AS (
+         |  SELECT 'nodes_at_level' AS section, CAST(level AS VARCHAR) AS key,
+         |    CAST(count(*) AS BIGINT) AS value
+         |  FROM n GROUP BY level),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS value
+         |  FROM (SELECT frm AS id FROM e UNION ALL SELECT "to" FROM e) GROUP BY id),
+         |top AS (
+         |  SELECT 'top_degree' AS section, name AS key, value
+         |  FROM n JOIN deg USING (id) WHERE level = 0
+         |  ORDER BY value DESC, name ASC LIMIT 5)
+         |SELECT * FROM tot UNION ALL SELECT * FROM lv UNION ALL SELECT * FROM top""".stripMargin,
+    // salted two-phase catalog replay as the naive one-phase SQL rollup
+    // (the spec proves salted ≡ naive; this proves naive ≡ exported run)
+    "kg_entity_catalog" ->
+      s"""WITH l0 AS (
+         |  SELECT lower(trim(name)) AS name_norm, name AS display,
+         |    metadata[1].document_id AS doc_id, CAST(len(metadata) AS BIGINT) AS n_mentions
+         |  FROM ${rp("nodes")} WHERE level = 0)
+         |SELECT name_norm, min(display) AS display,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+         |  array_to_string(list_sort(list_distinct(list(doc_id)))[1:8], ',') AS sample_doc_ids
+         |FROM l0 GROUP BY name_norm""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),

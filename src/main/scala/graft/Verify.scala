@@ -9,6 +9,14 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Sessions.local(cpus.toInt, "graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Side-write the KG build's stage tables to the fixed oracle-export
+    // path FIRST: the kg_* DuckDB oracles replay the downstream algebra
+    // over these exports (read_parquet on absolute paths), and the
+    // oracle pass runs after all queries — see SparkEntry.OracleExportDir.
+    try SparkEntry.exportForOracles(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
