@@ -50,11 +50,19 @@ object DocSources {
     * [[jsonl]]. Line-oriented (`from_csv` over text lines), so quoted
     * embedded newlines are not supported — corpus exports don't use them.
     *
-    * Header skipping is POSITIONAL (the first line of each file), never
-    * content-based: filtering lines that EQUAL the header string would
-    * silently drop any malformed data line that happens to render
-    * identical to it — the exact silent loss the (good, quarantine) split
-    * exists to prevent — and would miss a header differing by a stray CR.
+    * Header skipping is POSITIONAL **and validated**: only the first line
+    * of a file (byte offset 0), and only when it equals the expected
+    * header, is dropped. An unconditional positional skip would silently
+    * lose the first RECORD of every headerless export (a file whose first
+    * line is data) — the exact silent loss the (good, quarantine) split
+    * exists to prevent — while a purely content-based skip would drop a
+    * malformed data line that happens to render identical to the header
+    * anywhere in the file. Combining both signals leaves exactly one safe
+    * drop; a near-miss header (case drift, reordered columns) at offset 0
+    * is fed to the parser and lands in quarantine with its raw text, so
+    * the mismatch is visible and replayable instead of vanishing. (A
+    * stray trailing CR is trimmed before the compare — CRLF exports keep
+    * their header recognized.)
     * The only positional signal a distributed text scan has is the record
     * BYTE OFFSET, which the Hadoop text input format exposes and the SQL
     * text source does not — the one-hop RDD read below is that (the
@@ -74,8 +82,10 @@ object DocSources {
       // materialize to String immediately: the record reader REUSES its
       // Text buffer across records
       .map { case (off, t) => (off.get(), t.toString) }
+    val headerLine = docSchema.fieldNames.mkString(",")
     split(spark.createDataFrame(lines).toDF("off", "value")
-      .filter(col("off") > 0 && length(trim(col("value"))) > 0)
+      .filter(length(trim(col("value"))) > 0 &&
+        !(col("off") === 0 && trim(col("value")) === headerLine))
       .select(col("value"),
         from_csv(col("value"), withCorrupt(docSchema), parseOpts).as("d")))
   }

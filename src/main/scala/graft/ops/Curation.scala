@@ -31,6 +31,15 @@ object Curation {
     curateHandle(docs, idCol, textCol, budget, lang)._1
 
   /** Run the funnel. Returns (packed, stats, cleanup):
+    *
+    * '''Id contract''': `idCol` must be castable to LONG — the funnel
+    * normalizes ids to long at entry (the packer's deterministic
+    * ORDER BY id and the split hash both use the numeric form, matching
+    * the funnel's oracle). Non-numeric ids fail the ANSI cast loudly at
+    * the first action rather than corrupting ordering silently; corpora
+    * with opaque string ids should map them to a dense long surrogate
+    * before entering (a zipWithIndex-style assignment, or a 64-bit
+    * fingerprint column if collision risk is acceptable).
     *   packed — (id, n_tokens, tok_offset, bin), the training-shard layout
     *   of every surviving train-split document;
     *   stats — (stage, n) retention counts per funnel stage, in order;
@@ -67,8 +76,15 @@ object Curation {
 
     val (pairs, pairsFree) = Dedup.minhashLshPairsHandle(exc, "id", "text_clean")
     val (clusters, clustersFree) = Dedup.dedupClustersHandle(exc, "id", pairs)
+    // dedupClusters emits STRING ids (CC labels are strings); cast them
+    // back to the funnel's long ids EXPLICITLY — leaving the cross-type
+    // equi-join to implicit coercion is exact under ANSI but degrades to
+    // DOUBLE=DOUBLE with ansi off, where ids >= 2^53 can collide and
+    // silently keep/drop the wrong near-dup survivors. The cast is safe
+    // by construction: cluster ids are the string forms of exc's longs.
     val nearKept = exc.join(
-      clusters.filter(col("keep")).select("id"), Seq("id"), "left_semi")
+      clusters.filter(col("keep")).select(col("id").cast("long").as("id")),
+      Seq("id"), "left_semi")
 
     val trainDocs = nearKept.join(
       TextAnalysis.hashSplit(nearKept, "id")

@@ -120,7 +120,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Long = 0L): DataFrame =
-    ngramJaccardPairsHandle(df, idCol, textCol, k, threshold, maxShingleDf)._1
+    // fire-and-forget callers discard the cleanup thunk, so this wrapper
+    // must not pin a corpus-TOKEN-sized cache for the session lifetime:
+    // it trades the exploded-stream cache for re-shingling (3 scans) and
+    // pins only the bounded working sets (dup groups <= cap members each,
+    // per-doc features O(#docs)). Latency-sensitive callers that can free
+    // eagerly use [[ngramJaccardPairsHandle]], which keeps the
+    // single-shingle-pass cache.
+    ngramJaccardImpl(df, idCol, textCol, k, threshold, maxShingleDf,
+      cacheExploded = false)._1
 
   /** [[ngramJaccardPairs]] plus a cleanup thunk for long-lived sessions:
     * frees the working-set caches (candidate pairs + touched shingle sets
@@ -130,14 +138,29 @@ object Dedup {
     * post-cleanup consumer recomputes instead of failing. */
   def ngramJaccardPairsHandle(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, threshold: Double = 0.8,
-                              maxShingleDf: Long = 0L): (DataFrame, () => Unit) = {
+                              maxShingleDf: Long = 0L): (DataFrame, () => Unit) =
+    ngramJaccardImpl(df, idCol, textCol, k, threshold, maxShingleDf,
+      cacheExploded = true)
+
+  /** `cacheExploded = true`: cache the exploded (id, shingle) stream so
+    * the corpus is shingled exactly once (fastest; corpus-token-sized
+    * cache until the handle's cleanup runs). `false`: never materialize
+    * anything corpus-token-sized — the shingle scan runs once per
+    * consumer (3×), and only the bounded dup-group / per-doc-feature
+    * tables are cached (the right trade for callers that cannot free). */
+  private def ngramJaccardImpl(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, threshold: Double, maxShingleDf: Long,
+                               cacheExploded: Boolean): (DataFrame, () => Unit) = {
     val sets = shingleSets(df, idCol, textCol, k)
     val lazyEx = sets.select(col("id"), explode(col("sh")).as("g"))
     if (maxShingleDf > 0) {
       // the capped path reads the exploded (id, g) stream THREE times (hot
-      // shingle counts, dup-shingle groups, per-doc features) — cache it
-      // once so the corpus is shingled exactly once, not per consumer
-      val (ex, exRdd) = graft.core.Materialize.stageCutHandle(lazyEx)
+      // shingle counts, dup-shingle groups, per-doc features)
+      val (ex, exFree): (DataFrame, () => Unit) =
+        if (cacheExploded) {
+          val (d, r) = graft.core.Materialize.stageCutHandle(lazyEx)
+          (d, () => r.unpersist(blocking = false))
+        } else (lazyEx, () => ())
       // Capped path: candidate generation AND exact verification without
       // ever shuffling a full shingle array. Shared shingles split by the
       // global hotness of the shingle (df > cap), and the two halves of
@@ -176,12 +199,21 @@ object Dedup {
         .groupBy("ida", "idb").agg(count(lit(1)).as("ir"))
       // one corpus pass for both per-doc features: full set size and the
       // doc's (small) hot-shingle set — collect_set skips the nulls the
-      // left join leaves on non-hot shingles, so hsh is [] when none
-      val docFeats = ex
+      // left join leaves on non-hot shingles, so hsh is [] when none.
+      // Consumed twice (ida / idb join sides): with the exploded stream
+      // uncached, stage-cut this O(#docs) table instead so the second
+      // consumer doesn't trigger a fourth shingle scan.
+      val docFeats0 = ex
         .join(broadcast(hot.withColumn("is_hot", lit(true))), Seq("g"), "left")
         .groupBy("id")
         .agg(count(lit(1)).as("n"),
           collect_set(when(col("is_hot"), col("g"))).as("hsh"))
+      val (docFeats, docFeatsFree): (DataFrame, () => Unit) =
+        if (cacheExploded) (docFeats0, () => ())
+        else {
+          val (d, r) = graft.core.Materialize.stageCutHandle(docFeats0)
+          (d, () => r.unpersist(blocking = false))
+        }
       // lossless size prune before the hot-set join: inter <= min(na, nb)
       // and union >= max(na, nb), so J >= t forces min >= t * max
       val withFeats = pairRare
@@ -199,7 +231,8 @@ object Dedup {
         .select(col("ida"), col("idb"), round(col("j"), 4).as("jaccard"))
       (out, () => {
         groupedRdd.unpersist(blocking = false)
-        exRdd.unpersist(blocking = false)
+        docFeatsFree()
+        exFree()
       })
     } else {
       // uncapped (oracle-parity mode): group sizes are unbounded, so a

@@ -56,6 +56,15 @@ object Profile {
     }
     val aggs = Seq(min(col("n")).as("n_rows"),
       round(min(col("sv")) / min(col("n")), 4).as("mean")) ++ pcols
-    j.groupBy("stratum").agg(aggs.head, aggs.tail: _*)
+    val perStratum = j.groupBy("stratum").agg(aggs.head, aggs.tail: _*)
+    // The stratum universe comes from the UNFILTERED input: a stratum
+    // whose values are ALL NULL must still surface (n_rows = 0, NULL
+    // mean/percentiles) — dropping it entirely would be a silent row-set
+    // divergence vs engines that emit the group with NULL quantiles.
+    // n_rows counts NON-NULL values (0 for the degenerate stratum),
+    // consistent with the NULL-ignoring order statistics above.
+    val strata = df.select(col(strataCol).as("stratum")).distinct()
+    strata.join(perStratum, Seq("stratum"), "left")
+      .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
   }
 }

@@ -78,7 +78,14 @@ object StreamingOps {
     * repeated *Once invocations in one session don't accumulate one
     * driver-resident result copy per call (the sink's data is only
     * released once the catalog stops referencing it). The copy is the
-    * same driver-bounded size the memory sink already was. */
+    * same driver-bounded size the memory sink already was.
+    *
+    * '''Oracle-bridge ONLY, never production''': the memory sink (and
+    * this collect) exists solely for the `*Once` driver-contract entries,
+    * whose input is one bounded file by construction. A production stream
+    * must go through [[graft.streaming.StreamingBuild]]'s foreachBatch →
+    * TableIO.appendBatch path, which writes each micro-batch to the table
+    * layer distributedly and never routes rows through the driver. */
   private def drainMemorySink(spark: SparkSession, table: String): DataFrame = {
     val sink = spark.table(table)
     val (rows, schema) = (sink.collect(), sink.schema)

@@ -62,6 +62,28 @@ class DocSourcesSpec extends SparkSpec {
     assert(rawBad.head.startsWith("doc_id,"))
   }
 
+  test("csv: headerless file keeps its first record") {
+    val path = writeLines(Seq(
+      "5,epsilon,en,s0,7", // data at byte offset 0 — must survive the read
+      "6,zeta,en,s1,4"
+    ), ".csv")
+    val (good, bad) = DocSources.csv(spark, path)
+    assert(good.select("doc_id").collect().map(_.getLong(0)).sorted === Array(5L, 6L))
+    assert(bad.count() === 0)
+  }
+
+  test("csv: a near-miss header (case drift) is quarantined, not silently dropped") {
+    val path = writeLines(Seq(
+      "Doc_id,text,lang,source,n_chars", // not the expected header byte-for-byte
+      "7,eta,en,s0,3"
+    ), ".csv")
+    val (good, bad) = DocSources.csv(spark, path)
+    assert(good.select("doc_id").collect().map(_.getLong(0)) === Array(7L))
+    val rawBad = bad.collect().map(_.getAs[String]("raw_record"))
+    assert(rawBad.length === 1, "the mismatched header must leave a quarantine trace")
+    assert(rawBad.head.startsWith("Doc_id"))
+  }
+
   test("sharded jsonl export round-trips the fixture corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = java.nio.file.Files.createTempDirectory("graft-jsonl-out").toString

@@ -776,6 +776,21 @@ class OpsSpec extends SparkSpec {
     assert(mine === ref)
   }
 
+  test("percentiles: an all-NULL stratum surfaces with n_rows=0 and NULL stats") {
+    import graft.ops.Profile
+    val d = Seq(("a", Option(1)), ("a", Option(3)),
+        ("b", None: Option[Int]), ("b", None: Option[Int]))
+      .toDF("src", "len")
+    val rows = Profile.percentiles(d, "src", "len")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("a", "b"), "the degenerate stratum must not vanish")
+    assert(rows("a").getLong(1) === 2L)
+    val b = rows("b")
+    assert(b.getLong(1) === 0L)
+    assert(b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4),
+      "mean and percentiles of an all-NULL stratum are NULL, not fabricated")
+  }
+
   test("curation funnel: monotone retention, contiguous packing, clean teardown") {
     import graft.ops.Curation
     docs.count() // materialize the fixture's own cache before the snapshot
