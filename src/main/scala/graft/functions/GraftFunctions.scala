@@ -35,6 +35,12 @@ object GraftFunctions {
         require(children.length == 1, s"embed_text expects 1 argument, got ${children.length}")
         EmbedText(children.head)
       }),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"cosine_sim expects 2 arguments, got ${children.length}")
+        CosineSim(children(0), children(1))
+      }),
     composed("estimate_tokens", 1)(cs => TextFns.estimateTokensCol(cs.head)),
     composed("non_alpha_ratio", 1)(cs => TextFns.nonAlphaRatioCol(cs.head)),
     // whitespace-normalized lowercase md5 — the exact-dedup identity

@@ -330,15 +330,58 @@ object Dedup {
                            maxHamming: Int = 15, bandBits: Int = 4): DataFrame =
     simhashVerifiedPairsHandle(df, idCol, textCol, k, threshold, maxHamming, bandBits)._1
 
+  /** Valve-trip counter — spec observability only (OpsSpec asserts the
+    * valve fires on a hot-bucket corpus and stays silent on normal data). */
+  @volatile private[graft] var simhashValveTrips: Long = 0L
+
   /** [[simhashVerifiedPairs]] plus a cleanup thunk freeing the verification
-    * working-set caches (same contract as [[ngramJaccardPairsHandle]]). */
+    * working-set caches (same contract as [[ngramJaccardPairsHandle]]).
+    *
+    * '''Candidate-volume valve''': the wide net (4-bit bands) buckets
+    * ~n/16 docs per band value on a homogeneous corpus, so co-bucketed
+    * candidate volume approaches O(n²/16) — a scale-killer if this bridge
+    * path were ever pointed at a big corpus. Before generating pairs the
+    * valve measures Σ c·(c−1)/2 over the band buckets (one cheap
+    * map-side-combined aggregation of the signatures); past
+    * `maxCandidates` it LOUDLY auto-switches candidate generation to
+    * minhash LSH (linear banding; same exact-Jaccard verification, recall
+    * audited by DedupSpec/OracleCheck) instead of materializing a
+    * quadratic join. The default bound caps the candidate join at a size
+    * one stage handles comfortably; verify-scale corpora never trip it,
+    * so the oracle bridge keeps its exact wide-net semantics there. */
   def simhashVerifiedPairsHandle(df: DataFrame, idCol: String, textCol: String,
                                  k: Int = 3, threshold: Double = 0.8,
-                                 maxHamming: Int = 15, bandBits: Int = 4)
-      : (DataFrame, () => Unit) =
-    verifyJaccardHandle(
-      simhashPairs(df, idCol, textCol, maxHamming, bandBits).select("ida", "idb"),
-      shingleSets(df, idCol, textCol, k), threshold)
+                                 maxHamming: Int = 15, bandBits: Int = 4,
+                                 maxCandidates: Long = 100000000L)
+      : (DataFrame, () => Unit) = {
+    val bands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+    // double, not long: the probe is a heuristic and Σc² on a pathological
+    // corpus can exceed Long — overflow must not wrap into "small"
+    val vol = sigs
+      .select(explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> struct(b as band, shiftright(sig, b*$bandBits) & ${mask}L as bv))")).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bv")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("double") * (col("c") - 1).cast("double") / 2))
+      .head().getAs[Any](0) match {
+        case null => 0.0
+        case d: java.lang.Double => d.doubleValue()
+        case other => other.toString.toDouble
+      }
+    if (vol > maxCandidates.toDouble) {
+      simhashValveTrips += 1
+      System.err.println(f"[graft] WARNING: simhash wide-net candidate volume ~$vol%.3g " +
+        s"exceeds maxCandidates=$maxCandidates -- auto-switching candidate generation " +
+        "to minhash LSH (same exact-Jaccard verification; banding recall audited by " +
+        "DedupSpec/OracleCheck). The wide net is an oracle bridge for verify-scale " +
+        "corpora, not a production detector -- see simhashPairs for the linear path.")
+      minhashLshPairsHandle(df, idCol, textCol, k, threshold = threshold)
+    } else
+      verifyJaccardHandle(
+        simhashPairs(df, idCol, textCol, maxHamming, bandBits).select("ida", "idb"),
+        shingleSets(df, idCol, textCol, k), threshold)
+  }
 
   /** Near-dup **clustering with survivor selection** — what a training
     * pipeline actually executes after pair generation: near-dup pairs form
@@ -574,7 +617,7 @@ object Dedup {
     val r = assigned.select(col("cluster").as("cluster2"), col("id").as("idb"), col("v").as("vb"))
     // threshold on the UNROUNDED cosine; rounding only the reported column
     l.join(r, col("cluster") === col("cluster2") && col("ida") < col("idb"))
-      .withColumn("c", Similarity.cosUdf(col("va"), col("vb")))
+      .withColumn("c", Similarity.cosCol(col("va"), col("vb")))
       .filter(col("c") >= threshold)
       .select(col("ida"), col("idb"), col("cluster"), round(col("c"), 4).as("cosine"))
   }

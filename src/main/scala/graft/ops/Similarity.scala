@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private[ops] val cosUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    TextFns.cosine(a.toArray, b.toArray))
+  /** Native codegen cosine (no boxed UDF on the scoring hot path) —
+    * see [[graft.functions.CosineSim]]. */
+  private[graft] def cosCol(a: Column, b: Column): Column =
+    graft.functions.CosineSim(a, b)
 
   /** Exact top-k neighbors for each query (excluding self-matches by id).
     * Output: (qid, id, cosine, rank). */
@@ -29,7 +31,7 @@ object Similarity {
     val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine", round(cosUdf(col("qv"), col("cv")), 4))
+      .withColumn("cosine", round(cosCol(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -200,7 +202,7 @@ object Similarity {
     // already unique — no candidate distinct needed
     val scored = bucketed.join(broadcast(probed), Seq("cluster"))
       .filter(col("id") =!= col("qid"))
-      .withColumn("cosine", round(cosUdf(col("qv"), col("cv")), 4))
+      .withColumn("cosine", round(cosCol(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -226,7 +228,7 @@ object Similarity {
       .select("qid", "id").distinct()
       .join(vecs, Seq("id"))
       .join(broadcast(q.select(col("qid"), col("qv")).dropDuplicates("qid")), Seq("qid"))
-      .withColumn("cosine", round(cosUdf(col("qv"), col("cv")), 4))
+      .withColumn("cosine", round(cosCol(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

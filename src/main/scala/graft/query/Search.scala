@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  private def cosineToQuery(queryVec: Array[Float]) =
-    udf((v: Array[Float]) => TextFns.cosine(queryVec, v))
+  /** Query-vector cosine as a NATIVE codegen expression: the query
+    * embedding folds into the plan as an array<float> literal and
+    * [[graft.functions.CosineSim]] scores each index row inside
+    * whole-stage codegen — no boxed Seq[Float] UDF on the one scan that
+    * touches the full level slice (the per-row cost at 100x index size). */
+  private def cosineToQuery(queryVec: Array[Float])(v: org.apache.spark.sql.Column) =
+    graft.functions.CosineSim(typedLit(queryVec), v)
 
   private def rerankUdf(query: String) =
     udf((t: String) => TextFns.rerankScore(query, t))

@@ -41,6 +41,30 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("expects 1 argument"))
   }
 
+  test("native cosine expression equals the Scala function, handles nulls and dim mismatch") {
+    import graft.functions.CosineSim
+    val rows = Seq(
+      (1L, Some(Array(1f, 2f, 3f)), Some(Array(3f, 2f, 1f))),
+      (2L, Some(Array(1f, 0f)), Some(Array(0f, 1f))),
+      (3L, Some(Array(0f, 0f)), Some(Array(1f, 1f))), // zero norm -> 0.0
+      (4L, None: Option[Array[Float]], Some(Array(1f, 1f))), // null -> null
+      (5L, Some(Array(1f, 1f, 1f, 1f)), Some(Array(1f, 1f)))) // min-dim prefix
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"), CosineSim(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    rows.foreach { case (id, a, b) =>
+      val want = for (x <- a; y <- b) yield TextFns.cosine(x, y)
+      assert(got(id) === want, s"row $id")
+    }
+    // byte-identical to the boxed-UDF formulation it replaced
+    val viaUdf = udf((x: Seq[Float], y: Seq[Float]) =>
+      if (x == null || y == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(TextFns.cosine(x.toArray, y.toArray)))
+    val udfVals = df.select(col("id"), viaUdf(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got === udfVals)
+  }
+
   test("PDF-layout SQL functions equal their Column-API twins") {
     GraftFunctions.register(spark)
     val row = spark.sql(

@@ -62,6 +62,35 @@ class OpsSpec extends SparkSpec {
     assert(ver.forall(_._2 >= 0.8))
   }
 
+  test("simhash wide-net valve trips on a hot-bucket corpus and auto-switches to LSH") {
+    import spark.implicits._
+    // 120 near-identical docs → every 4-bit band buckets them together:
+    // candidate volume ~ 16 * C(120,2) ≈ 114k, far past a 1k valve
+    val hot = (0 until 120).map(i =>
+      (i.toLong, "the same boilerplate sentence repeated across the corpus body " * 5 +
+        s"tail$i")).toDF("doc_id", "text")
+    val before = Dedup.simhashValveTrips
+    val (tripped, freeT) = Dedup.simhashVerifiedPairsHandle(
+      hot, "doc_id", "text", k = 3, threshold = 0.8, maxCandidates = 1000L)
+    val trippedPairs = tripped.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    freeT()
+    assert(Dedup.simhashValveTrips === before + 1, "the valve must trip loudly")
+    // the LSH fallback keeps the contract: exact-verified pairs >= threshold
+    val exact = Dedup.ngramJaccardPairs(hot, "doc_id", "text", k = 3, threshold = 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trippedPairs.subsetOf(exact), "fallback pairs must stay exact-verified")
+    assert(trippedPairs.nonEmpty)
+    // the default bound does NOT trip on the fixture corpus (oracle bridge
+    // keeps its exact wide-net semantics at verify scale)
+    val b2 = Dedup.simhashValveTrips
+    val (untripped, freeU) = Dedup.simhashVerifiedPairsHandle(
+      docs, "doc_id", "text", k = 3, threshold = 0.8)
+    untripped.count()
+    freeU()
+    assert(Dedup.simhashValveTrips === b2, "default valve must stay silent at verify scale")
+  }
+
   test("lsh ANN top-k recall vs brute force") {
     val queries = emb.filter(col("id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, 5)
