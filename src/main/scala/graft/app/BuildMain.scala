@@ -36,7 +36,16 @@ object BuildMain {
 
     val t0 = System.nanoTime()
     val docs = Corpus.docs(spark, nDocs, seed)
-    val result = BuildPipeline.run(docs, new DeterministicExtractor, Some(cp))
+    // extraction client: the deterministic extractor by default; an
+    // HTTP-backed one (real model endpoint) when GRAFT_EXTRACTOR_URL is
+    // set — same SpanExtractor seam, same bounded-concurrency fan-out
+    val extractor = graft.extract.HttpExtractor.fromEnv() match {
+      case Some(http) =>
+        println(s"[graft] using HTTP extractor at ${sys.env(graft.extract.HttpExtractor.UrlEnv)}")
+        http
+      case None => new DeterministicExtractor
+    }
+    val result = BuildPipeline.run(docs, extractor, Some(cp))
     val nTriples = result.triples.count()
     val wall = (System.nanoTime() - t0) / 1e9
 

@@ -181,7 +181,8 @@ object ScalingBench {
     * never mixes rows from different engine versions into one distribution
     * (rows from older generations stay in the md for the record). Bump when
     * the engine or methodology changes materially. */
-  val Generation = "g4"
+  val Generation = "g5" // g5: linker desc-payload byte diet (slim names through
+  // blocking+CC+resolution; ambiguous-doc-only late desc recomputation)
 
   /** Summarize the csv produced by repeated [[runLevel]] calls: per-level
     * best-of (contention only adds time) plus the per-round PAIRED ratios

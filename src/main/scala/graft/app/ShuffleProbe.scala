@@ -1,0 +1,59 @@
+package graft.app
+
+import graft.core.Corpus
+import graft.extract.DeterministicExtractor
+import graft.pipeline.BuildPipeline
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Shuffle-byte accounting for the end-to-end build — the measurement
+  * behind the linker byte-diet (descriptions out of the corpus-wide
+  * linking shuffles): total shuffle write/read bytes + records for one
+  * build, plus the top stages by shuffle write with their call sites.
+  *
+  * Usage: ShuffleProbe [nDocs] [cores]
+  */
+object ShuffleProbe {
+
+  private class Acc extends SparkListener {
+    val wBytes = new java.util.concurrent.atomic.AtomicLong
+    val rBytes = new java.util.concurrent.atomic.AtomicLong
+    val wRecs = new java.util.concurrent.atomic.AtomicLong
+    val top = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        val w = m.shuffleWriteMetrics.bytesWritten
+        wBytes.addAndGet(w)
+        rBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        wRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        if (w > 0) top.add((w, e.stageInfo.name.takeWhile(_ != '\n').take(120)))
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 6000L
+    val cores = if (args.length > 1) args(1).toInt else 16
+    val spark = graft.core.Sessions.local(cores, "graft-shuffle-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val acc = new Acc
+    spark.sparkContext.addSparkListener(acc)
+    val t0 = System.nanoTime()
+    val triples = BuildPipeline
+      .run(Corpus.docs(spark, nDocs), new DeterministicExtractor)
+      .triples.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // let the listener bus drain before reading the totals (private API
+    // behind spark.* package access — a short sleep is enough here)
+    Thread.sleep(1500)
+    println(f"[shuffle-probe] docs=$nDocs triples=$triples wall=$wall%.1fs " +
+      f"shuffleWrite=${acc.wBytes.get / 1048576.0}%.1f MiB " +
+      f"shuffleRead=${acc.rBytes.get / 1048576.0}%.1f MiB " +
+      f"records=${acc.wRecs.get}")
+    import scala.jdk.CollectionConverters._
+    acc.top.asScala.toVector.sortBy(-_._1).take(12).foreach { case (w, name) =>
+      println(f"[shuffle-probe]   ${w / 1048576.0}%8.1f MiB  $name")
+    }
+    spark.stop()
+  }
+}

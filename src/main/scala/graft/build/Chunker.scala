@@ -47,7 +47,10 @@ object Chunker {
     var i = 0
     while (i < relevant.length) {
       val s = relevant(i)
-      val t = TextFns.estimateTokens(s.text)
+      // Tokens.count: estimator by default; exact BPE when a vocabulary
+      // is configured (GRAFT_BPE_VOCAB) — the chunker consumes whichever
+      // transparently, chunk boundaries follow the configured counter
+      val t = graft.functions.Tokens.count(s.text)
       val headerBreak =
         s.kind == Kinds.SectionHeader && bufTokens > HeaderBreakRatio * OptimalTokens
       if (headerBreak || (bufTokens > 0 && bufTokens + t > OptimalTokens)) emit()
@@ -89,7 +92,7 @@ object Chunker {
     TextSplitter.split(Option(raw).getOrElse("").strip(), chunkSize, overlap)
       .iterator.zipWithIndex
       .collect { case (t, i) if keep(t) =>
-        Chunk(docId, i, t, TextFns.estimateTokens(t)) }
+        Chunk(docId, i, t, graft.functions.Tokens.count(t)) }
 
   /** Spark stage for the TXT path: narrow flatMap over (doc_id, text)
     * rows — zero shuffle, same scale shape as the span-packing path. */

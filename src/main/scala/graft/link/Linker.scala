@@ -105,6 +105,16 @@ object Linker {
         joined(collect_list(col("prop_set"))).as("prop_descs"))
   }
 
+  /** SLIM doc-level name table: (doc_id, name_norm, display) — the only
+    * columns the prefix-blocking join, connected components, and cluster
+    * resolution actually read. The description payloads (KBs per name on
+    * real corpora — the dominant linker shuffle bytes) are NOT carried
+    * here; [[canonicalMappingResult]] recomputes them late from the
+    * mention aggregation for the ambiguous ~2% of documents only. */
+  def uniqueNamesSlimFrom(agg: DataFrame): DataFrame =
+    agg.groupBy(col("doc_id"), col("name_norm"))
+      .agg(min(col("display")).as("display"))
+
   /** Candidate pairs via token-PREFIX blocking, scored with token_set_ratio.
     *
     * The blocking key is each token's first 6 characters (the whole token
@@ -160,8 +170,9 @@ object Linker {
   /** Canonical mapping plus a cleanup hook that unpersists the linker's
     * internal checkpoints — call it once the mapping stage itself is
     * materialized. In local mode every eager localCheckpoint pins block-
-    * manager memory for the build's lifetime; freeing the linker's three
-    * internal materializations (names / resolved / ambiguous) after the
+    * manager memory for the build's lifetime; freeing the linker's
+    * internal materializations (agg / names / resolved / ambiguous and
+    * the ambiguous-doc desc slices) after the
     * mapping checkpoint exists cuts the live heap for all downstream
     * stages (shared-heap GC pressure was the largest local-mode
     * anti-scaling term at 96k docs). */
@@ -184,10 +195,15 @@ object Linker {
 
     def materialize(df: DataFrame): DataFrame = graft.core.Materialize.eager(df)
 
-    // the single mention scan (chunk-level aggregation) both the name
-    // table and the per-occurrence contexts derive from
+    // the single mention scan (chunk-level aggregation) everything else
+    // derives from
     val agg = timed("mention_agg")(materialize(mentionAgg(logs)))
-    val names = timed("names")(materialize(uniqueNamesFrom(agg)))
+    // SLIM name table: the blocking join, union-find, and resolution read
+    // only (doc_id, name_norm, display). Description payloads — KBs per
+    // name, the dominant linker shuffle bytes — stay out of every
+    // corpus-wide shuffle from here on and are recomputed late for the
+    // ambiguous slice of documents below.
+    val names = timed("names")(materialize(uniqueNamesSlimFrom(agg)))
     val pairs = matchedPairs(names)
     // per-doc graphs are bounded by doc size → single-shuffle union-find;
     // the iterative self-join CC remains the unbounded-graph path. comps
@@ -200,17 +216,41 @@ object Linker {
 
     val members = comps
       .join(names, comps("key") === names("doc_id") && comps("v") === names("name_norm"))
-      .select(col("doc_id"), col("component"), col("name_norm"), col("display"), col("descs"))
+      .select(col("doc_id"), col("component"), col("name_norm"), col("display"))
 
+    // resolveCluster with EMPTY descs: maximality and unique-candidate
+    // assignment are pure token-set structure; the desc-reranked doc-level
+    // pick for ambiguous members is computed — and then DISCARDED — by
+    // the pipeline, which replaces it with the containment-gathered
+    // rerank (docAmbig below, the reference's node_matcher semantics).
+    // Shipping every member's doc-wide descriptions through this
+    // groupByKey to compute a discarded value was the largest single
+    // linker shuffle payload. Byte-identical mapping by construction:
+    // only ambiguous rows' (unused) canonical columns can differ.
     val resolved = timed("resolved")(materialize(members
-      .as[(String, String, String, String, String)]
-      .groupByKey { case (doc, comp, _, _, _) => (doc, comp) }
-      .flatMapGroups { (key: (String, String), rows: Iterator[(String, String, String, String, String)]) =>
+      .as[(String, String, String, String)]
+      .groupByKey { case (doc, comp, _, _) => (doc, comp) }
+      .flatMapGroups { (key: (String, String), rows: Iterator[(String, String, String, String)]) =>
         val doc = key._1
-        val ms = rows.map { case (_, _, norm, display, descs) => (norm, display, descs) }.toVector
+        val ms = rows.map { case (_, _, norm, display) => (norm, display, "") }.toVector
         resolveCluster(ms).map(r => (doc, r.name_norm, r.canonical_norm, r.canonical, r.candidates))
       }
       .toDF("doc_id", "name_norm", "canonical_norm", "canonical", "candidates")))
+
+    // ---- late description recomputation, ambiguous documents only ------
+    // Ambiguity is decided above without descs; only now do desc payloads
+    // re-enter, restricted to the documents that contain an ambiguous
+    // cluster (~2% of the synthetic corpus; doc-bounded always). One
+    // corpus-partitioned semi join on doc_id replaces the three
+    // corpus-wide desc-bearing shuffles the previous plan paid (names
+    // with descs into gathered + docAmbig, full agg into overrides).
+    val ambigDocs = resolved.filter(size(col("candidates")) > 1)
+      .select(col("doc_id")).distinct()
+    val aggAmbig = materialize(agg.join(ambigDocs, Seq("doc_id"), "left_semi"))
+    // full name table (descs/ne_descs/prop_descs) for ambiguous docs —
+    // containment gathering scans ALL names of the doc, so this derives
+    // from the doc-scoped semi join, not from the ambiguous names alone
+    val namesAmbig = materialize(uniqueNamesFrom(aggAmbig))
 
     // A6 — candidate context gathered by SUBSTRING CONTAINMENT across the
     // doc's mention names (reference node_matcher.py:104-143: a candidate
@@ -222,7 +262,7 @@ object Linker {
       .select(col("doc_id"), explode(col("candidates")).as("c"))
       .select(col("doc_id"), col("c._1").as("cand_norm"))
       .distinct()
-    val gathered = candNames.join(names, Seq("doc_id"))
+    val gathered = candNames.join(namesAmbig, Seq("doc_id"))
       .withColumn("piece", concat_ws(" ",
         when(col("name_norm").contains(col("cand_norm")), col("ne_descs")),
         when(col("name_norm") === col("cand_norm"), col("prop_descs"))))
@@ -248,7 +288,7 @@ object Linker {
       .partitionBy(col("doc_id"), col("name_norm"))
       .orderBy(col("score").desc, col("cand_norm").desc)
     val docAmbig = ambiguous
-      .join(names.select(col("doc_id"), col("name_norm"), col("descs")), Seq("doc_id", "name_norm"))
+      .join(namesAmbig.select(col("doc_id"), col("name_norm"), col("descs")), Seq("doc_id", "name_norm"))
       .withColumn("score",
         rerankUdf(col("descs"), concat_ws(" ", col("cand_descs"), col("cand_norm"))))
       .withColumn("rn", row_number().over(wDoc))
@@ -260,7 +300,9 @@ object Linker {
       col("doc_id"), lit(-1).as("chunk_id"),
       col("name_norm"), col("canonical_norm"), col("canonical"))
       .unionByName(docAmbig)
-    val occs = mentionOccurrencesFrom(agg)
+    // per-chunk contexts only exist for ambiguous members — derive them
+    // from the ambiguous-doc slice, never the full chunk-level agg
+    val occs = mentionOccurrencesFrom(aggAmbig)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"), col("chunk_id"), col("name_norm"))
       .orderBy(col("score").desc, col("cand_norm").desc)
@@ -277,6 +319,8 @@ object Linker {
       names.unpersist(blocking = false)
       resolved.unpersist(blocking = false)
       ambiguous.unpersist(blocking = false)
+      aggAmbig.unpersist(blocking = false)
+      namesAmbig.unpersist(blocking = false)
     })
   }
 

@@ -1,0 +1,129 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.core.Corpus
+import graft.extract.{DeterministicExtractor, HttpExtractor}
+import graft.pipeline.BuildPipeline
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
+
+/** The HTTP extraction client against an in-process fake model endpoint:
+  * the server wraps [[DeterministicExtractor]] and answers in the
+  * REFERENCE's prompt-contract JSON shapes (json_build.jinja /
+  * json_property.jinja / json_figure.jinja / json_keywords.jinja), so a
+  * full pipeline run through HTTP must reproduce the deterministic build
+  * byte-for-byte — proving the client's request/parse/retry plumbing is
+  * transparent to the engine. */
+class HttpExtractorSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  private val inner = new DeterministicExtractor
+  private val requests = new AtomicLong(0L)
+  /** Every Nth request fails with 500 once (flaky-mode), keyed by a
+    * counter so retries of the same call eventually pass. */
+  @volatile private var failEvery: Int = 0
+
+  private def jStr(s: String) = JString(s)
+
+  private def handle(ex: HttpExchange): Unit = {
+    val n = requests.incrementAndGet()
+    if (failEvery > 0 && n % failEvery == 0) {
+      val msg = "transient".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(500, msg.length)
+      ex.getResponseBody.write(msg); ex.close(); return
+    }
+    val req = JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+    val task = req \ "task" match { case JString(s) => s; case _ => "" }
+    val text = req \ "text" match { case JString(s) => s; case _ => "" }
+    val nodes = req \ "nodes" match {
+      case JArray(xs) => xs.collect { case JString(s) => s }
+      case _ => Nil
+    }
+    def buildJson(ns: Seq[graft.core.NodeExt], es: Seq[graft.core.EdgeExt],
+                  main: Option[String] = None): JValue = JObject(
+      "entities" -> JArray(ns.toList.map(nd => JObject(
+        List("name" -> jStr(nd.name), "description" -> jStr(nd.description)) :::
+          main.map(m => "main_node" -> JBool(m == nd.name)).toList))),
+      "relationships" -> JArray(es.toList.map(e => JObject(
+        "source" -> jStr(e.source), "target" -> jStr(e.target),
+        "relationship" -> jStr(e.relationship)))))
+    val resp: JValue = task match {
+      case "build" => val (ns, es) = inner.extractChunk(text); buildJson(ns, es)
+      case "table" => val (ns, es) = inner.extractTable(text); buildJson(ns, es)
+      case "figure" =>
+        val (ns, es, main) = inner.extractFigure(text); buildJson(ns, es, Some(main))
+      case "property" => JObject("entities" -> JArray(
+        inner.extractProperties(text, nodes).toList.map(p =>
+          JObject(p.entity_name -> JArray(p.properties.toList.map(jStr))))))
+      case "keywords" => JObject("keywords" -> JArray(inner.keywords(text).toList.map(jStr)))
+      case "summary" => JObject("summary" -> jStr(inner.summary(text)))
+      case other =>
+        val msg = s"unknown task $other".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg); ex.close(); return
+    }
+    val bytes = JsonMethods.compact(JsonMethods.render(resp)).getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private var server: HttpServer = _
+  private var url: String = _
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/extract", (ex: HttpExchange) => handle(ex))
+    // concurrency: the client fans out 10 calls per partition
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.start()
+    url = s"http://127.0.0.1:${server.getAddress.getPort}/extract"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  private def triplesOf(r: BuildPipeline.BuildResult): Set[(String, String, String, String)] =
+    r.triples.collect().map(x =>
+      (x.getString(0), x.getString(1), x.getString(2), x.getString(3))).toSet
+
+  test("pipeline through the HTTP client reproduces the deterministic build byte-for-byte") {
+    failEvery = 0
+    val docs = Corpus.docs(spark, 30)
+    val viaHttp = triplesOf(BuildPipeline.run(docs, new HttpExtractor(url)))
+    val direct = triplesOf(BuildPipeline.run(docs, new DeterministicExtractor))
+    assert(viaHttp === direct)
+    assert(viaHttp.nonEmpty)
+    assert(requests.get() > 0, "the build must actually have gone through the endpoint")
+  }
+
+  test("transient 5xx responses are retried with backoff and never change the result") {
+    failEvery = 7 // every 7th request dies once; retries must absorb it
+    val before = requests.get()
+    val docs = Corpus.docs(spark, 12)
+    val viaHttp = triplesOf(BuildPipeline.run(docs,
+      new HttpExtractor(url, backoffMultiplierMs = 1L, maxBackoffMs = 5L)))
+    failEvery = 0
+    val direct = triplesOf(BuildPipeline.run(docs, new DeterministicExtractor))
+    assert(viaHttp === direct)
+    assert(requests.get() - before > 0)
+  }
+
+  test("non-retryable 4xx fails loudly instead of silently extracting nothing") {
+    failEvery = 0
+    // an unmatched context (prefix-matching would route /extract/* to the
+    // handler) -> the server's built-in 404, which must NOT be retried
+    val bad = new HttpExtractor(url.replace("/extract", "/nope"),
+      backoffMultiplierMs = 1L, maxBackoffMs = 5L)
+    val before = requests.get()
+    val e = intercept[RuntimeException](bad.extractChunk("some text"))
+    assert(e.getMessage.contains("404"))
+    assert(requests.get() === before, "a 4xx must not be retried against the real handler")
+  }
+}
