@@ -61,6 +61,22 @@ object SparkEntry {
       df.coalesce(4).write.mode("overwrite").parquet(s"$OracleExportDir/$name")
     w(r.logs, "logs"); w(r.mapping, "mapping"); w(r.chunks, "chunks")
     w(r.nodes, "nodes"); w(r.edges, "edges"); w(r.properties, "properties")
+    // ANN replay side-tables: the seeded hyperplanes and the trained IVF
+    // centroids are deterministic but not SQL-derivable — exporting them
+    // lets DuckDB replay bucketing / probing / exact cosine externally,
+    // flipping q_ann_lsh / q_ann_ivf from rows-only to hash-compared.
+    import spark.implicits._
+    // search replay inputs: the index (embeddings included) and the raw
+    // interleaved corpus (spans — for visual content recovery)
+    w(r.searchIndex, "search_index")
+    w(Corpus.docs(spark, Corpus.docsForSfDir(sfDir)).toDF(), "docs")
+    w(Similarity.lshPlanesRows().toDF("tbl", "bit", "plane"), "lsh_planes")
+    val emb = spark.read.parquet(t(sfDir, "embeddings"))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.trainCentroids(emb, "id", "vec")
+    w(cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
+      .toDF("cluster", "centroid"), "ivf_centroids")
   }
 
   /** `read_parquet` over a stage export (see [[OracleExportDir]]). */
@@ -783,6 +799,113 @@ object SparkEntry {
        |FROM l0 JOIN expn e ON l0.id = e.id
        |UNION ALL
        |SELECT id, name, level, is_visual, community_id FROM expn WHERE level >= 1""".stripMargin
+
+  // --- search-family replay ---------------------------------------------
+  // The query string is a compile-time literal, so its deterministic
+  // embedding and rerank token set are computed HERE (Scala) and inlined
+  // into the SQL as literals — the oracle then replays retrieve (level
+  // slice → cosine top-N → rerank → threshold → rank) over the exported
+  // search_index entirely in DuckDB. Floats are inlined via their exact
+  // double widening (f.toDouble.toString round-trips bit-exactly).
+
+  private def sqlDoubleArray(xs: Seq[Double]): String =
+    xs.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[]"
+  private def sqlStringList(xs: Seq[String]): String =
+    xs.map(s => "'" + s.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** CTEs `sidx` → `hits` → `sc` → `shits` replaying Search.retrieve for
+    * one literal query. */
+  private def searchHitsCtes(query: String, level: Int, topN: Int,
+                             threshold: Double): String = {
+    val qv = graft.functions.TextFns.embed(query).map(_.toDouble).toSeq
+    val qt = graft.functions.TextFns.normTokens(query).distinct.toSeq
+    s"""sidx AS (
+       |  SELECT id, text, type, document_id, embedding::DOUBLE[] AS emb
+       |  FROM ${rp("search_index")} WHERE level = $level),
+       |hits AS (
+       |  SELECT id, text, type, document_id,
+       |    -list_cosine_similarity(${sqlDoubleArray(qv)}, emb) AS distance
+       |  FROM sidx ORDER BY distance ASC, id ASC LIMIT $topN),
+       |sc AS (
+       |  SELECT id, text, type, document_id,
+       |    CASE WHEN len(tt) = 0 THEN 0.0
+       |         ELSE len(list_intersect(${sqlStringList(qt)}, tt))
+       |              / sqrt(${qt.length}.0 * len(tt)) END AS score
+       |  FROM (SELECT *, list_distinct(list_filter(regexp_split_to_array(
+       |      regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+       |      x -> x <> '')) AS tt FROM hits)),
+       |shits AS (
+       |  SELECT id, text, type, document_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rn
+       |  FROM sc WHERE score > $threshold)""".stripMargin
+  }
+
+  /** CTE `enr` replaying Search.enrich over the exported graph tables. */
+  private def enrichCte: String =
+    s"""nname AS (SELECT id AS nid, name FROM ${rp("nodes")}),
+       |enr AS (
+       |  SELECT h.id, h.type, h.text, h.score, h.document_id,
+       |    n.name AS subject, n.description AS detail, [n.name] AS parent_names
+       |  FROM shits h JOIN ${rp("nodes")} n ON h.id = n.id WHERE h.type = 'node'
+       |  UNION ALL
+       |  SELECT h.id, h.type, h.text, h.score, h.document_id,
+       |    nf.name || ' ↔ ' || nt.name, e.description, [nt.name, nf.name]
+       |  FROM shits h JOIN ${rp("edges")} e ON h.id = e.id
+       |  JOIN nname nf ON e.frm = nf.nid JOIN nname nt ON e."to" = nt.nid
+       |  WHERE h.type = 'edge'
+       |  UNION ALL
+       |  SELECT h.id, h.type, h.text, h.score, h.document_id,
+       |    own.name, p.description, [own.name]
+       |  FROM shits h JOIN ${rp("properties")} p ON h.id = p.id
+       |  JOIN nname own ON p.node_id = own.nid
+       |  WHERE h.type = 'property')""".stripMargin
+
+  private lazy val kgSearchSql: String =
+    s"""WITH ${searchHitsCtes("who collaborates with Vertex Analytics", 0, 40, 0.1)}
+       |SELECT id, text, type, document_id, score, rn FROM shits""".stripMargin
+
+  private lazy val kgGlobalSearchSql: String =
+    s"""WITH ${searchHitsCtes("which network includes Vertex Analytics", 1, 15, 0.0)}
+       |SELECT id, text, type, document_id, score, rn FROM shits""".stripMargin
+
+  private lazy val kgSearchEnrichedSql: String =
+    s"""WITH ${searchHitsCtes("who collaborates with Vertex Analytics", 0, 40, 0.1)},
+       |$enrichCte
+       |SELECT id, type, text, score, document_id, subject, detail,
+       |  array_to_string(parent_names, ',') AS parent_names
+       |FROM enr""".stripMargin
+
+  /** kg_visuals replay: enriched hits → visual-provenance parents →
+    * is_visual level-0 node probe → span-content recovery. */
+  private lazy val kgVisualsSql: String =
+    s"""WITH ${searchHitsCtes("which entity is depicted with a figure", 0, 40, 0.1)},
+       |$enrichCte,
+       |meta_of AS (
+       |  SELECT id, metadata FROM ${rp("nodes")}
+       |  UNION ALL SELECT id, metadata FROM ${rp("edges")}
+       |  UNION ALL SELECT id, metadata FROM ${rp("properties")}),
+       |vhp AS (
+       |  SELECT DISTINCT document_id, lower(trim(pname)) AS pname_norm
+       |  FROM (
+       |    SELECT e.document_id, unnest(e.parent_names) AS pname
+       |    FROM enr e JOIN meta_of m ON e.id = m.id
+       |    WHERE len(list_filter(m.metadata, x -> x.visual IS NOT NULL)) > 0)),
+       |vnodes AS (
+       |  SELECT n.id, n.name, n.description,
+       |    n.metadata[1].document_id AS document_id,
+       |    list_filter(n.metadata, x -> x.visual IS NOT NULL)[1].visual.media_ref AS media_ref
+       |  FROM ${rp("nodes")} n WHERE n.is_visual AND n.level = 0),
+       |sv AS (
+       |  SELECT DISTINCT v.id, v.name, v.description, v.document_id, v.media_ref
+       |  FROM vnodes v JOIN vhp ON v.document_id = vhp.document_id
+       |    AND lower(trim(v.name)) = vhp.pname_norm),
+       |vspans AS (
+       |  SELECT doc_id, s.media_ref AS media_ref, s.text AS content
+       |  FROM (SELECT doc_id, unnest(spans) AS s FROM ${rp("docs")})
+       |  WHERE s.media_ref <> '')
+       |SELECT sv.id, sv.name, sv.description, sv.document_id, sv.media_ref, sp.content
+       |FROM sv JOIN vspans sp ON sv.document_id = sp.doc_id
+       |  AND sv.media_ref = sp.media_ref""".stripMargin
 
   /** kg_mapping replay: the ENTIRE linker in SQL from the logs export —
     * single-scan mention aggregation (Linker.mentionAgg), doc-level name
@@ -1828,6 +1951,10 @@ object SparkEntry {
     "kg_mapping" -> kgMappingSql,
     "kg_triples" -> kgTriplesSql,
     "kg_nodes" -> kgNodesSql,
+    "kg_search" -> kgSearchSql,
+    "kg_global_search" -> kgGlobalSearchSql,
+    "kg_search_enriched" -> kgSearchEnrichedSql,
+    "kg_visuals" -> kgVisualsSql,
     // logs projection replay (array sizes) — verifies export fidelity +
     // the projection; extraction itself stays spec-gated
     "kg_logs" ->
@@ -1895,6 +2022,111 @@ object SparkEntry {
          |  CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
          |  array_to_string(list_sort(list_distinct(list(doc_id)))[1:8], ',') AS sample_doc_ids
          |FROM l0 GROUP BY name_norm""".stripMargin,
+    // F5 community-CSV replay over the final tables: the two prompt-context
+    // CSV strings per community, byte-identical string assembly in SQL
+    "kg_community_csv" ->
+      s"""WITH members AS (
+         |  SELECT id AS node_id, name, community_id
+         |  FROM ${rp("nodes")} WHERE level = 0 AND community_id <> ''),
+         |plines AS (
+         |  SELECT m.community_id,
+         |    array_to_string(list_sort(list(m.name || ',' || p.description)), chr(10)) AS plines
+         |  FROM members m JOIN ${rp("properties")} p ON m.node_id = p.node_id
+         |  GROUP BY m.community_id),
+         |names AS (SELECT id, name FROM ${rp("nodes")} WHERE level = 0),
+         |withn AS (
+         |  SELECT e.id, e.frm, e."to", nf.name AS frm_name, nt.name AS to_name, e.description
+         |  FROM ${rp("edges")} e
+         |  JOIN names nf ON e.frm = nf.id
+         |  JOIN names nt ON e."to" = nt.id),
+         |touching0 AS (
+         |  SELECT m.community_id, w.id,
+         |    w.frm_name || ',' || w.to_name || ',' || w.description AS line
+         |  FROM withn w JOIN members m ON w.frm = m.node_id
+         |  UNION ALL
+         |  SELECT m.community_id, w.id,
+         |    w.frm_name || ',' || w.to_name || ',' || w.description
+         |  FROM withn w JOIN members m ON w."to" = m.node_id),
+         |touching AS (
+         |  SELECT community_id, id, min(line) AS line FROM touching0 GROUP BY 1, 2),
+         |elines AS (
+         |  SELECT community_id,
+         |    array_to_string(list_sort(list(line)), chr(10)) AS elines
+         |  FROM touching GROUP BY 1)
+         |SELECT c.community_id,
+         |  'node_name,property' ||
+         |    CASE WHEN coalesce(p.plines, '') <> '' THEN chr(10) || p.plines ELSE '' END AS prop_csv,
+         |  'from,to,description' ||
+         |    CASE WHEN coalesce(el.elines, '') <> '' THEN chr(10) || el.elines ELSE '' END AS edge_csv
+         |FROM (SELECT DISTINCT community_id FROM members) c
+         |LEFT JOIN plines p USING (community_id)
+         |LEFT JOIN elines el USING (community_id)""".stripMargin,
+    // visualizer level-slice replay: degree + deterministic cap
+    "kg_viz_nodes" ->
+      s"""WITH lvl AS (
+         |  SELECT id, name, description, community_id FROM ${rp("nodes")} WHERE level = 0),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT frm AS id FROM ${rp("edges")}
+         |        UNION ALL SELECT "to" FROM ${rp("edges")}) GROUP BY 1)
+         |SELECT l.id, l.name, l.description, l.community_id,
+         |  coalesce(d.degree, 0) AS degree
+         |FROM lvl l LEFT JOIN deg d USING (id)
+         |ORDER BY degree DESC, name ASC, id ASC LIMIT 2000""".stripMargin,
+    // LSH ANN replay from the exported hyperplanes: coder (sign of plane
+    // dot), per-table cells, query Hamming-1 probes, exact cosine top-k
+    "q_ann_lsh" ->
+      s"""WITH pl AS (SELECT tbl, bit, plane FROM ${rp("lsh_planes")}),
+         |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |codes AS (
+         |  SELECT id, tbl,
+         |    CAST(sum(CASE WHEN dot > 0 THEN (1 << bit) ELSE 0 END) AS INT) AS code
+         |  FROM (SELECT e.id, p.tbl, p.bit, list_dot_product(p.plane, e.v) AS dot
+         |        FROM e CROSS JOIN pl p)
+         |  GROUP BY id, tbl),
+         |ccell AS (SELECT id, tbl * 65536 + code AS cell FROM codes),
+         |qcodes AS (SELECT * FROM codes WHERE id < 20),
+         |qprobe AS (
+         |  SELECT id AS qid, tbl * 65536 + code AS cell FROM qcodes
+         |  UNION ALL
+         |  SELECT q.id, q.tbl * 65536 + xor(q.code, 1 << b.b)
+         |  FROM qcodes q, (SELECT unnest(range(0, 6)) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, c.id
+         |  FROM ccell c JOIN qprobe q ON c.cell = q.cell WHERE c.id <> q.qid),
+         |scored AS (
+         |  SELECT cand.qid, cand.id,
+         |    round(list_cosine_similarity(eq.v, ec.v), 4) AS cosine
+         |  FROM cand JOIN e ec ON cand.id = ec.id JOIN e eq ON cand.qid = eq.id),
+         |ranked AS (
+         |  SELECT qid, id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+         |  FROM scored)
+         |SELECT qid, id, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
+    // IVF ANN replay from the exported trained centroids: nearest-list
+    // assignment (ties to lower index), nProbe=8 query probing, exact
+    // cosine top-k inside probed lists only
+    "q_ann_ivf" ->
+      s"""WITH ct AS (SELECT cluster, centroid FROM ${rp("ivf_centroids")}),
+         |e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |arank AS (
+         |  SELECT e.id, e.v, c.cluster,
+         |    row_number() OVER (PARTITION BY e.id
+         |      ORDER BY list_cosine_similarity(c.centroid, e.v) DESC, c.cluster ASC) AS rn
+         |  FROM e CROSS JOIN ct c),
+         |assigned AS (SELECT id, v, cluster FROM arank WHERE rn = 1),
+         |probed AS (
+         |  SELECT id AS qid, v AS qv, cluster FROM arank WHERE id < 20 AND rn <= 8),
+         |scored AS (
+         |  SELECT p.qid, a.id, round(list_cosine_similarity(p.qv, a.v), 4) AS cosine
+         |  FROM assigned a JOIN probed p ON a.cluster = p.cluster WHERE a.id <> p.qid),
+         |ranked AS (
+         |  SELECT qid, id, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+         |  FROM scored)
+         |SELECT qid, id, cosine, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -38,14 +38,31 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Deterministic hyperplane generator shared by the coder UDF and the
+    * external-replay export ([[lshPlanesRows]]): fill order is
+    * table → bit → dim on one seeded RNG, so the exported rows are
+    * byte-identical to what the UDF folds into its closure. */
+  private[ops] def planesFor(tables: Int, bits: Int, dim: Int,
+                             seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rng.nextGaussian())
+  }
+
+  /** The default LSH coder's planes as rows (table, bit, plane) — the
+    * Verify-time side export that lets the DuckDB oracle replay bucketing
+    * + Hamming-1 probing + exact cosine externally (q_ann_lsh). */
+  def lshPlanesRows(tables: Int = 8, bits: Int = 6, dim: Int = 64,
+                    seed: Long = 7L): Seq[(Int, Int, Seq[Double])] = {
+    val planes = planesFor(tables, bits, dim, seed)
+    for (t <- 0 until tables; b <- 0 until bits)
+      yield (t, b, planes(t)(b).toSeq)
+  }
+
   /** Multi-table random-hyperplane codes: for each of `tables` independent
     * plane sets, emit (table, code). Recall compounds across tables:
     * a neighbor missed by one table's bucket is caught by another. */
   private[ops] def codesUdf(tables: Int, bits: Int, dim: Int, seed: Long) = {
-    val planes: Array[Array[Array[Double]]] = {
-      val rng = new scala.util.Random(seed)
-      Array.fill(tables, bits, dim)(rng.nextGaussian())
-    }
+    val planes = planesFor(tables, bits, dim, seed)
     udf((v: Seq[Float]) => {
       val out = new Array[Int](tables)
       var t = 0
