@@ -638,12 +638,15 @@ object SparkEntry {
         org.apache.spark.sql.Encoders.product[graft.core.DocRow])).toDF()
     }),
 
-    // ----- KG pipeline stages (synthetic interleaved corpus; gated by the
-    // ScalaTest parity suite — rows-only here) -------------------------------
+    // ----- KG pipeline stages (synthetic interleaved corpus). Most carry
+    // composed DuckDB oracles replaying the stage algebra over the
+    // Verify-time exports (see OracleExportDir); the ScalaTest parity
+    // suite gates the remainder (recursive splitter, PageRank). ----------
     "kg_chunks" -> ((s, d) => kg(s, d).chunks),
     // S1 TXT path: 1500/300 character-recursive splitter over the plain-text
-    // documents table (splitter semantics aren't SQL-expressible; gated by
-    // ChunkerSpec — rows-only here)
+    // documents table (the recursive-descent splitter with its sliding
+    // overlap window isn't SQL-expressible; gated by ChunkerSpec golden
+    // cases — rows-only here)
     "kg_chunks_txt" -> ((s, d) =>
       graft.build.Chunker.txtChunks(s.read.parquet(t(d, "documents"))).toDF()),
     "kg_logs" -> ((s, d) => kg(s, d).logs
@@ -663,7 +666,7 @@ object SparkEntry {
     // parent nodes, with the visual's TEXT CONTENT recovered by joining
     // media_ref back to the spans table (reference MetadataVisual.content
     // semantics, persistence/metadata.py:10-22; dormant in the reference;
-    // rows-only check here, content round-trip gated by SearchSpec)
+    // oracle replays search + visual selection + content recovery in SQL)
     "kg_visuals" -> ((s, d) => {
       val r = kg(s, d)
       val hits = graft.query.Search.quickSearch(r.searchIndex, "which entity is depicted with a figure")
@@ -674,7 +677,8 @@ object SparkEntry {
         Corpus.docs(s, Corpus.docsForSfDir(d)).toDF())
     }),
     // F5 community CSV render: the two prompt-context CSV strings per
-    // community (rows-only; content gated by CommunitySpec)
+    // community (oracle replays the CSV assembly; CommunitySpec gates the
+    // crossing-edge invariants)
     "kg_community_csv" -> ((s, d) => {
       val r = kg(s, d)
       graft.community.Communities.communityCsv(r.nodes, r.edges, r.properties)
@@ -686,12 +690,14 @@ object SparkEntry {
     // PageRank centrality over the materialized graph — iterative
     // DataFrame self-joins, dangling mass redistributed, rank mass
     // conserved at 1; gated by CentralitySpec (power-iteration
-    // cross-check), rows-only here.
+    // cross-check), rows-only here — a per-iteration aggregation cannot
+    // live inside a DuckDB recursive CTE.
     "kg_pagerank" -> ((s, d) =>
       graft.query.Centrality.pageRank(kg(s, d).edges.toDF())),
     // Pre-build cost/time estimate (reference tools/estimator.py analog):
     // one narrow agg over the chunks table; formulas gated by ChunkerSpec
-    // against the reference's published numbers — rows-only here.
+    // against the reference's published numbers; the oracle replays the
+    // aggregation + cost/time formulas over the chunks export.
     "kg_estimate" -> ((s, d) => {
       val e = graft.pipeline.Estimator.estimate(kg(s, d).chunks.toDF())
       import s.implicits._
@@ -700,7 +706,7 @@ object SparkEntry {
     }),
     // Visualizer data prep (level slice + degree + level-internal edges) —
     // the distributed half of viz/Visualizer; HTML render gated by
-    // VisualizerSpec, rows-only here.
+    // VisualizerSpec; the level-slice/degree-cap half is oracle-replayed.
     "kg_viz_nodes" -> ((s, d) => {
       val r = kg(s, d)
       graft.viz.Visualizer.visualData(r.nodes, r.edges, level = 0, maxNodes = 2000)._1
@@ -1951,6 +1957,89 @@ object SparkEntry {
     "kg_mapping" -> kgMappingSql,
     "kg_triples" -> kgTriplesSql,
     "kg_nodes" -> kgNodesSql,
+    // chunk-packing replay: the one order-dependent fold of the pipeline,
+    // expressed as a per-doc recursive CTE stepping span-by-span with the
+    // carried (chunk_id, buf_tokens, buf) state — emits on the header-break
+    // and budget-overflow rules, final flush, then the keep filter
+    "kg_chunks" ->
+      s"""WITH RECURSIVE sp AS (
+         |  SELECT doc_id, s.kind AS kind, s.text AS text,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s.offset) AS i
+         |  FROM (SELECT doc_id, unnest(spans) AS s FROM ${rp("docs")})
+         |  WHERE s.kind IN ('text', 'section_header')),
+         |nsp AS (SELECT doc_id, max(i) AS m FROM sp GROUP BY doc_id),
+         |rec AS (
+         |  SELECT doc_id, 0 AS i, 0 AS chunk_id, 0 AS buf_tokens, '' AS buf,
+         |    CAST(NULL AS INT) AS emit_id, CAST(NULL AS VARCHAR) AS emit_text,
+         |    CAST(NULL AS INT) AS emit_tokens
+         |  FROM nsp
+         |  UNION ALL
+         |  SELECT r.doc_id, s.i,
+         |    CASE WHEN brk THEN r.chunk_id + 1 ELSE r.chunk_id END,
+         |    CASE WHEN brk THEN tok ELSE r.buf_tokens + tok END,
+         |    CASE WHEN brk OR r.buf = '' THEN s.text ELSE r.buf || chr(10) || s.text END,
+         |    CASE WHEN brk THEN r.chunk_id END,
+         |    CASE WHEN brk THEN r.buf END,
+         |    CASE WHEN brk THEN r.buf_tokens END
+         |  FROM rec r JOIN sp s ON s.doc_id = r.doc_id AND s.i = r.i + 1,
+         |  LATERAL (SELECT greatest(len(list_filter(regexp_split_to_array(s.text, '\\s+'), x -> x <> '')),
+         |                  CAST(ceil(length(s.text) / 4.0) AS INT)) AS tok) t,
+         |  LATERAL (SELECT (s.kind = 'section_header' AND r.buf_tokens > 280)
+         |                  OR (r.buf_tokens > 0 AND r.buf_tokens + tok > 400) AS brk) b),
+         |emitted AS (
+         |  SELECT doc_id, emit_id AS chunk_id, emit_text AS text, emit_tokens AS token_num
+         |  FROM rec WHERE emit_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT r.doc_id, r.chunk_id, r.buf, r.buf_tokens
+         |  FROM rec r JOIN nsp ON r.doc_id = nsp.doc_id AND r.i = nsp.m
+         |  WHERE r.buf <> '')
+         |SELECT doc_id, chunk_id, text, token_num FROM (
+         |  SELECT *, regexp_replace(text, '\\s+', '', 'g') AS no_ws FROM emitted)
+         |WHERE length(text) >= 100 AND length(no_ws) > 0
+         |  AND length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0 / length(no_ws) <= 0.4""".stripMargin,
+    // production simhash replay: FNV-1a64 token hashes and the 64-bit
+    // majority signature in HUGEINT mod-2^64 arithmetic, 4x16-bit banded
+    // join, Hamming <= 3 — the linear-scale detector, now hash-compared
+    "q_simhash_ham" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+        |    regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g'), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, tok,
+        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |      (h, c) -> ((xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) + h - (h % 65536))
+        |                 * 1099511628211) % 18446744073709551616) AS fnv
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b.b AS bit,
+        |    sum(CASE WHEN CAST((fnv // (CAST(1 AS HUGEINT) << b.b)) % 2 AS INT) = 1
+        |        THEN 1 ELSE -1 END) AS acc
+        |  FROM th, (SELECT unnest(range(0, 64)) AS b) b
+        |  GROUP BY doc_id, b.b),
+        |sigs0 AS (
+        |  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (CAST(1 AS HUGEINT) << bit)
+        |    ELSE CAST(0 AS HUGEINT) END) AS usig
+        |  FROM bits GROUP BY doc_id),
+        |sigs AS (
+        |  SELECT doc_id AS id,
+        |    CAST(CASE WHEN usig >= CAST(9223372036854775808 AS HUGEINT)
+        |         THEN usig - CAST(18446744073709551616 AS HUGEINT) ELSE usig END AS BIGINT) AS sig
+        |  FROM sigs0),
+        |banded AS (
+        |  SELECT id, sig, b.b AS band,
+        |    CAST((CASE WHEN sig >= 0 THEN CAST(sig AS HUGEINT)
+        |          ELSE CAST(sig AS HUGEINT) + CAST(18446744073709551616 AS HUGEINT) END
+        |          // (CAST(1 AS HUGEINT) << (b.b * 16))) % 65536 AS BIGINT) AS bv
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS b) b),
+        |pairs AS (
+        |  SELECT DISTINCT l.id AS ida, r.id AS idb,
+        |    CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+        |  FROM banded l JOIN banded r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
+        |  WHERE bit_count(xor(l.sig, r.sig)) <= 3)
+        |SELECT ida, idb, hamming FROM pairs""".stripMargin,
     "kg_search" -> kgSearchSql,
     "kg_global_search" -> kgGlobalSearchSql,
     "kg_search_enriched" -> kgSearchEnrichedSql,

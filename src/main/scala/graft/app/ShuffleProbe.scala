@@ -34,15 +34,41 @@ object ShuffleProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 6000L
     val cores = if (args.length > 1) args(1).toInt else 16
+    // "linker" mode: materialize the logs first (untracked), then measure
+    // ONLY the linking stage (logs -> canonical mapping) — the stage the
+    // desc-payload byte diet targets.
+    val linkerOnly = args.length > 2 && args(2) == "linker"
     val spark = graft.core.Sessions.local(cores, "graft-shuffle-probe")
     spark.sparkContext.setLogLevel("ERROR")
     val acc = new Acc
-    spark.sparkContext.addSparkListener(acc)
-    val t0 = System.nanoTime()
-    val triples = BuildPipeline
-      .run(Corpus.docs(spark, nDocs), new DeterministicExtractor)
-      .triples.count()
-    val wall = (System.nanoTime() - t0) / 1e9
+    val t0first = System.nanoTime()
+    var wall = 0.0
+    var triples = 0L
+    if (linkerOnly) {
+      import spark.implicits._
+      val chunksT = graft.build.Chunker.chunks(Corpus.docs(spark, nDocs))
+      val ex = new DeterministicExtractor
+      val logs = graft.core.Materialize.eager(
+        graft.extract.Extract.withProperties(
+          graft.extract.Extract.rawLogs(chunksT,
+            graft.build.Chunker.visualSpans(Corpus.docs(spark, nDocs)), ex), ex).toDF())
+      logs.count() // materialized before the listener attaches
+      spark.sparkContext.addSparkListener(acc)
+      val t0 = System.nanoTime()
+      val link = graft.link.Linker.canonicalMappingResult(
+        logs.as[graft.core.ExtractionLog])
+      triples = link.mapping.count()
+      wall = (System.nanoTime() - t0) / 1e9
+      link.cleanup()
+    } else {
+      spark.sparkContext.addSparkListener(acc)
+      val t0 = System.nanoTime()
+      triples = BuildPipeline
+        .run(Corpus.docs(spark, nDocs), new DeterministicExtractor)
+        .triples.count()
+      wall = (System.nanoTime() - t0) / 1e9
+    }
+    val _ = t0first
     // let the listener bus drain before reading the totals (private API
     // behind spark.* package access — a short sleep is enough here)
     Thread.sleep(1500)
