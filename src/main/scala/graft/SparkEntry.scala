@@ -1173,6 +1173,158 @@ object SparkEntry {
         |  FROM tok
         |)""".stripMargin
 
+  /** q_pdf_layout replay: the ENTIRE stub PDF path in SQL — synthetic
+    * token grid, per-page upper-median font, token classification
+    * (header/bullet/formula heuristics), the sequential line fold and
+    * segment fold as per-(doc,page) recursive CTEs, reading-order span
+    * assembly, and the chunk-packing fold (same recursive shape as the
+    * kg_chunks oracle). MATERIALIZED CTE hints keep the recursive terms
+    * from re-evaluating their upstream chain per level. */
+  private lazy val pdfLayoutSql: String =
+    """WITH RECURSIVE
+       |wl AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> '')[1:160] AS ws FROM documents),
+       |tk0 AS (SELECT doc_id, unnest(list_zip(ws, range(len(ws)))) AS z FROM wl),
+       |tk AS (
+       |  SELECT doc_id, z[1] AS word, CAST(z[2] AS INT) AS i,
+       |    CAST(z[2] AS INT) // 8 AS line0,
+       |    (CAST(z[2] AS INT) // 8) % 7 = 0 AS hdr
+       |  FROM tk0),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, word, i,
+       |    line0 // 40 + 1 AS page,
+       |    40.0 + (i % 8) * 70.0 AS lft,
+       |    60.0 + (line0 % 40) * 16.0 AS top,
+       |    60.0 AS w,
+       |    CASE WHEN hdr THEN 14.0 ELSE 12.0 END AS h,
+       |    CASE WHEN hdr THEN 14.0 ELSE 10.0 END AS fs,
+       |    hdr AS bold
+       |  FROM tk),
+       |-- per-page upper-median font (Scala: sortedFonts(length/2), 0-based)
+       |medf AS (
+       |  SELECT doc_id, page, fs AS med FROM (
+       |    SELECT doc_id, page, fs,
+       |      row_number() OVER (PARTITION BY doc_id, page ORDER BY fs) AS rf,
+       |      count(*) OVER (PARTITION BY doc_id, page) AS nf
+       |    FROM toks)
+       |  WHERE rf = nf // 2 + 1),
+       |-- reading order rank per (doc,page)
+       |rt AS MATERIALIZED (
+       |  SELECT t.*, row_number() OVER (PARTITION BY doc_id, page ORDER BY top, lft, i) AS r,
+       |    count(*) OVER (PARTITION BY doc_id, page) AS np
+       |  FROM toks t),
+       |-- line fold: new line when t.top >= cur_bottom - 0.3*t.height
+       |lrec AS (
+       |  SELECT doc_id, page, r, 0 AS line_id, top + h AS cur_bottom
+       |  FROM rt WHERE r = 1
+       |  UNION ALL
+       |  SELECT x.doc_id, x.page, x.r,
+       |    CASE WHEN brk THEN l.line_id + 1 ELSE l.line_id END,
+       |    CASE WHEN brk THEN x.top + x.h ELSE greatest(l.cur_bottom, x.top + x.h) END
+       |  FROM lrec l JOIN rt x ON x.doc_id = l.doc_id AND x.page = l.page AND x.r = l.r + 1,
+       |  LATERAL (SELECT x.top >= l.cur_bottom - 0.3 * x.h AS brk) q),
+       |ltok AS (
+       |  SELECT rt.doc_id, rt.page, lrec.line_id, rt.word, rt.lft, rt.top, rt.w, rt.h, rt.fs, rt.bold, rt.i,
+       |    row_number() OVER (PARTITION BY rt.doc_id, rt.page, lrec.line_id ORDER BY rt.lft, rt.r) AS pos
+       |  FROM rt JOIN lrec ON rt.doc_id = lrec.doc_id AND rt.page = lrec.page AND rt.r = lrec.r),
+       |-- token classification
+       |ctok AS MATERIALIZED (
+       |  SELECT lt.*, m.med,
+       |    CASE WHEN lt.bold AND lt.fs >= 1.15 * m.med THEN 'SECTION_HEADER'
+       |         WHEN regexp_matches(lt.word, '^(?:[•●*\-]|\(?[0-9]{1,2}[.)])') THEN 'LIST_ITEM'
+       |         WHEN regexp_matches(lt.word, '[=^∑∫±≤≥√]') THEN 'FORMULA'
+       |         ELSE 'TEXT' END AS cls
+       |  FROM ltok lt JOIN medf m ON lt.doc_id = m.doc_id AND lt.page = m.page),
+       |-- line type: bullet head else majority (ties -> earliest position)
+       |ltyc AS (
+       |  SELECT doc_id, page, line_id, cls, count(*) AS n, min(pos) AS first_pos
+       |  FROM ctok GROUP BY 1,2,3,4),
+       |lhead AS (
+       |  SELECT doc_id, page, line_id,
+       |    regexp_matches(word, '^(?:[•●*\-]|\(?[0-9]{1,2}[.)])') AS head_bullet
+       |  FROM ctok WHERE pos = 1),
+       |lty AS (
+       |  SELECT c.doc_id, c.page, c.line_id,
+       |    CASE WHEN h.head_bullet THEN 'LIST_ITEM' ELSE c.cls END AS lt
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, page, line_id
+       |          ORDER BY n DESC, first_pos ASC) AS rn FROM ltyc) c
+       |  JOIN lhead h ON c.doc_id = h.doc_id AND c.page = h.page AND c.line_id = h.line_id
+       |  WHERE c.rn = 1),
+       |-- per-line geometry + text
+       |lgeo AS (
+       |  SELECT c.doc_id, c.page, c.line_id,
+       |    min(CASE WHEN pos = 1 THEN top END) AS head_top,
+       |    max(top + h) AS bot, max(h) AS lh,
+       |    min(lft) AS x0, min(top) AS y0, max(lft + w) AS x1, max(top + h) AS y1,
+       |    string_agg(word, ' ' ORDER BY pos) AS ltext
+       |  FROM ctok c GROUP BY 1,2,3),
+       |lline AS MATERIALIZED (
+       |  SELECT g.*, t.lt,
+       |    row_number() OVER (PARTITION BY g.doc_id, g.page ORDER BY g.line_id) AS lr
+       |  FROM lgeo g JOIN lty t ON g.doc_id = t.doc_id AND g.page = t.page AND g.line_id = t.line_id),
+       |-- segment fold over lines
+       |srec AS (
+       |  SELECT doc_id, page, lr, 0 AS seg_id, lt AS seg_type, bot AS prev_bot, lh AS prev_lh
+       |  FROM lline WHERE lr = 1
+       |  UNION ALL
+       |  SELECT x.doc_id, x.page, x.lr,
+       |    CASE WHEN brk THEN s.seg_id + 1 ELSE s.seg_id END,
+       |    CASE WHEN brk THEN x.lt ELSE s.seg_type END,
+       |    x.bot, x.lh
+       |  FROM srec s JOIN lline x ON x.doc_id = s.doc_id AND x.page = s.page AND x.lr = s.lr + 1,
+       |  LATERAL (SELECT x.lt <> s.seg_type OR x.head_top - s.prev_bot > 0.8 * s.prev_lh AS brk) q),
+       |segs AS (
+       |  SELECT l.doc_id, l.page, s.seg_id,
+       |    min(l.x0) AS x0, min(l.y0) AS y0, max(l.x1) AS x1, max(l.y1) AS y1,
+       |    string_agg(l.ltext, ' ' ORDER BY l.lr) AS stext,
+       |    min(s.seg_type) AS seg_type
+       |  FROM lline l JOIN srec s ON l.doc_id = s.doc_id AND l.page = s.page AND l.lr = s.lr
+       |  GROUP BY 1,2,3),
+       |-- toDocRows: reading-order spans (sort by page, top=y0, left=x0), kind map
+       |spans AS (
+       |  SELECT doc_id,
+       |    CASE WHEN seg_type IN ('TEXT','LIST_ITEM','FORMULA') THEN 'text'
+       |         WHEN seg_type = 'SECTION_HEADER' THEN 'section_header'
+       |         WHEN seg_type = 'TABLE' THEN 'table'
+       |         WHEN seg_type IN ('PICTURE','FIGURE') THEN 'figure'
+       |         ELSE 'page_furniture' END AS kind,
+       |    stext AS text,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY page, y0, x0) AS sord
+       |  FROM segs),
+       |-- chunker fold over the spans (same as kg_chunks)
+       |sp AS MATERIALIZED (
+       |  SELECT doc_id, kind, text,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY sord) AS i
+       |  FROM spans WHERE kind IN ('text', 'section_header')),
+       |nsp AS MATERIALIZED (SELECT doc_id, max(i) AS m FROM sp GROUP BY doc_id),
+       |crec AS (
+       |  SELECT doc_id, 0 AS i, 0 AS chunk_id, 0 AS buf_tokens, '' AS buf,
+       |    CAST(NULL AS INT) AS emit_id, CAST(NULL AS VARCHAR) AS emit_text, CAST(NULL AS INT) AS emit_tokens
+       |  FROM nsp
+       |  UNION ALL
+       |  SELECT r.doc_id, s.i,
+       |    CASE WHEN brk THEN r.chunk_id + 1 ELSE r.chunk_id END,
+       |    CASE WHEN brk THEN tok ELSE r.buf_tokens + tok END,
+       |    CASE WHEN brk OR r.buf = '' THEN s.text ELSE r.buf || chr(10) || s.text END,
+       |    CASE WHEN brk THEN r.chunk_id END,
+       |    CASE WHEN brk THEN r.buf END,
+       |    CASE WHEN brk THEN r.buf_tokens END
+       |  FROM crec r JOIN sp s ON s.doc_id = r.doc_id AND s.i = r.i + 1,
+       |  LATERAL (SELECT greatest(len(list_filter(regexp_split_to_array(s.text, '\s+'), x -> x <> '')),
+       |                  CAST(ceil(length(s.text) / 4.0) AS INT)) AS tok) t,
+       |  LATERAL (SELECT (s.kind = 'section_header' AND r.buf_tokens > 280)
+       |                  OR (r.buf_tokens > 0 AND r.buf_tokens + tok > 400) AS brk) b),
+       |emitted AS (
+       |  SELECT doc_id, emit_id AS chunk_id, emit_text AS text, emit_tokens AS token_num
+       |  FROM crec WHERE emit_id IS NOT NULL
+       |  UNION ALL
+       |  SELECT r.doc_id, r.chunk_id, r.buf, r.buf_tokens
+       |  FROM crec r JOIN nsp ON r.doc_id = nsp.doc_id AND r.i = nsp.m
+       |  WHERE r.buf <> '')
+       |SELECT doc_id, chunk_id, text, token_num FROM (
+       |  SELECT *, regexp_replace(text, '\s+', '', 'g') AS no_ws FROM emitted)
+       |WHERE length(text) >= 100 AND length(no_ws) > 0
+       |  AND length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0 / length(no_ws) <= 0.4""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // F8 bbox math: same derived rectangles; min/max commutes past the
     // polygon vertex-order variants, so the oracle needs no CASE on them
@@ -2040,6 +2192,7 @@ object SparkEntry {
         |  FROM banded l JOIN banded r ON l.band = r.band AND l.bv = r.bv AND l.id < r.id
         |  WHERE bit_count(xor(l.sig, r.sig)) <= 3)
         |SELECT ida, idb, hamming FROM pairs""".stripMargin,
+    "q_pdf_layout" -> pdfLayoutSql,
     "kg_search" -> kgSearchSql,
     "kg_global_search" -> kgGlobalSearchSql,
     "kg_search_enriched" -> kgSearchEnrichedSql,
