@@ -48,8 +48,11 @@ object SparkEntry {
     * oracle-verified) mapping; kg_documents / kg_estimate replay the
     * registry/estimator aggregations over the chunks export;
     * kg_stats / kg_entity_catalog replay the dashboard and salted-catalog
-    * rollups over the final tables. Only extraction and the recursive
-    * chunker remain spec-gated (their semantics are not SQL-expressible).
+    * rollups over the final tables; kg_pagerank unrolls the fixed power
+    * iterations as chained aggregating CTEs over the edges export;
+    * kg_chunks_txt replays the character-recursive splitter's merge fold
+    * via prefix sums + a window-start-only recursive CTE. Only
+    * extraction itself remains spec-gated.
     *
     * One fixed path, overwritten per Verify run — the verify process
     * builds exactly one sfDir, and oracles run after all queries. */
@@ -535,7 +538,10 @@ object SparkEntry {
     }),
 
     // ----- multimodal plumbing (opaque binary payloads + typed metadata;
-    // decode step stubbed deterministically — see ops/Multimodal.scala) ----
+    // decode step stubbed deterministically — see ops/Multimodal.scala).
+    // The stub arithmetic is all fnv1a64/LCG mod-2^64, so both media
+    // queries carry exact DuckDB oracles (mediaFeaturesSql replays the
+    // checksum fold byte-by-byte in a recursive CTE). ----
     "q_media_features" -> ((s, d) => {
       import graft.ops.Multimodal
       val spark = s; import spark.implicits._
@@ -592,7 +598,7 @@ object SparkEntry {
         .select(col("event_id"), col("r.out_w").as("out_w"), col("r.out_h").as("out_h"))
     }),
     // Frame sampling over stub video payloads (every 3rd frame, 32 B/frame;
-    // payload bytes are deterministic — rows-only like q_media_features)
+    // oracle needs only the seed-derived payload length — mediaFramesSql)
     "q_media_frames" -> ((s, d) => {
       import graft.ops.Multimodal
       val media = Multimodal.payloadFromRef(
@@ -638,17 +644,22 @@ object SparkEntry {
         org.apache.spark.sql.Encoders.product[graft.core.DocRow])).toDF()
     }),
 
-    // ----- KG pipeline stages (synthetic interleaved corpus). Most carry
+    // ----- KG pipeline stages (synthetic interleaved corpus). All carry
     // composed DuckDB oracles replaying the stage algebra over the
     // Verify-time exports (see OracleExportDir); the ScalaTest parity
-    // suite gates the remainder (recursive splitter, PageRank). ----------
+    // suite additionally gates extraction end-to-end. ----------
     "kg_chunks" -> ((s, d) => kg(s, d).chunks),
-    // S1 TXT path: 1500/300 character-recursive splitter over the plain-text
-    // documents table (the recursive-descent splitter with its sliding
-    // overlap window isn't SQL-expressible; gated by ChunkerSpec golden
-    // cases — rows-only here)
+    // S1 TXT path: character-recursive splitter over the plain-text
+    // documents table, run at 160/40 so the greedy merge + sliding overlap
+    // window + keep-filter id gaps are all actually exercised (the corpus
+    // maxes at 558 chars, so the production 1500/300 defaults — golden-
+    // cased in ChunkerSpec — would trivially emit one chunk per doc here).
+    // DuckDB oracle: prefix-summed pieces + a recursive CTE carrying only
+    // the window-start; the post-emit advance loop lands at
+    // greatest(old_lo, minsat(i)) where minsat depends only on i.
     "kg_chunks_txt" -> ((s, d) =>
-      graft.build.Chunker.txtChunks(s.read.parquet(t(d, "documents"))).toDF()),
+      graft.build.Chunker.txtChunks(s.read.parquet(t(d, "documents")),
+        chunkSize = 160, overlap = 40).toDF()),
     "kg_logs" -> ((s, d) => kg(s, d).logs
       .select(col("doc_id"), col("chunk_id"), col("is_visual"),
         size(col("nodes")).as("n_nodes"), size(col("edges")).as("n_edges"),
@@ -690,8 +701,10 @@ object SparkEntry {
     // PageRank centrality over the materialized graph — iterative
     // DataFrame self-joins, dangling mass redistributed, rank mass
     // conserved at 1; gated by CentralitySpec (power-iteration
-    // cross-check), rows-only here — a per-iteration aggregation cannot
-    // live inside a DuckDB recursive CTE.
+    // cross-check) AND DuckDB-oracled: a per-iteration aggregation cannot
+    // live inside a recursive CTE, but the iteration count is a fixed
+    // constant, so the oracle UNROLLS the 10 power iterations as chained
+    // aggregating CTEs over the edges export (see pageRankSql).
     "kg_pagerank" -> ((s, d) =>
       graft.query.Centrality.pageRank(kg(s, d).edges.toDF())),
     // Pre-build cost/time estimate (reference tools/estimator.py analog):
@@ -1180,6 +1193,113 @@ object SparkEntry {
     * assembly, and the chunk-packing fold (same recursive shape as the
     * kg_chunks oracle). MATERIALIZED CTE hints keep the recursive terms
     * from re-evaluating their upstream chain per level. */
+  /** kg_pagerank replay: Centrality.pageRank runs a FIXED number of power
+    * iterations (10, damping 0.85), and a DuckDB recursive CTE cannot
+    * aggregate per level — so the oracle unrolls the iterations as a
+    * chain of aggregating CTEs generated by the same loop shape as the
+    * Spark implementation: per iteration a dangling-mass one-row
+    * aggregate d_k, an inflow aggregation i_k (rank/outdeg summed per
+    * destination), and the rank update r_k with uniform teleport.
+    * MATERIALIZED hints keep the chain from inlining the upstream plan
+    * once per level (which re-opens the parquet glob exponentially). */
+  private lazy val pageRankSql: String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT frm AS src, "to" AS dst FROM ${rp("edges")}
+         |  WHERE frm IS NOT NULL AND "to" IS NOT NULL),
+         |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+         |vd AS MATERIALIZED (SELECT v.id, deg.deg FROM v LEFT JOIN deg USING (id)),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM vd),
+         |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM vd)""".stripMargin
+    val iters = (1 to 10).map { k =>
+      val p = k - 1
+      s"""d$k AS MATERIALIZED (
+         |  SELECT coalesce(sum(CASE WHEN vd.deg IS NULL THEN r.rank END), 0.0) AS dm
+         |  FROM r$p r JOIN vd USING (id)),
+         |i$k AS (
+         |  SELECT e.dst AS id, sum(r.rank / vd.deg) AS inflow
+         |  FROM r$p r JOIN vd USING (id) JOIN e ON e.src = r.id
+         |  WHERE vd.deg IS NOT NULL GROUP BY e.dst),
+         |r$k AS MATERIALIZED (
+         |  SELECT vd.id,
+         |    0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(i$k.inflow, 0.0) + (SELECT dm FROM d$k) / (SELECT n FROM nn)) AS rank
+         |  FROM vd LEFT JOIN i$k USING (id))""".stripMargin
+    }
+    (head +: iters).mkString(",\n") + "\nSELECT id, round(rank, 6) AS rank FROM r10"
+  }
+
+  /** fnv1a64(ref) in DuckDB HUGEINT mod-2^64 arithmetic (same fold as the
+    * q_simhash_ham oracle: chars are < 2^16, so the XOR touches only the
+    * low 16 bits and splits off exactly). */
+  private val fnvRefSql: String =
+    """list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |    list_transform(string_split(ref, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      |  (h, c) -> ((xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) + h - (h % 65536))
+      |             * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** q_media_features replay: seed = fnv1a64(ref); geometry closed-form;
+    * checksum = FNV-1a fold over the LCG byte stream, advanced in
+    * lockstep by a recursive CTE (one level per byte). */
+  private lazy val mediaFeaturesSql: String =
+    s"""WITH RECURSIVE
+       |m AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       |         'img://doc-' || doc_id || '/fig-0.png' AS ref
+       |  FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT media_id, $fnvRefSql AS fnv FROM m),
+       |g AS MATERIALIZED (
+       |  SELECT media_id, fnv,
+       |    abs(CAST(CASE WHEN fnv >= CAST(9223372036854775808 AS HUGEINT)
+       |        THEN fnv - CAST(18446744073709551616 AS HUGEINT) ELSE fnv END AS BIGINT)) AS a
+       |  FROM f),
+       |geo AS MATERIALIZED (
+       |  SELECT media_id, fnv, CAST(64 + a % 192 AS INT) AS n,
+       |    CAST(a % 1920 + 64 AS INT) AS width, CAST((a // 7) % 1080 + 64 AS INT) AS height
+       |  FROM g),
+       |rec AS (
+       |  SELECT media_id, 0 AS i, fnv AS h,
+       |    CAST(14695981039346656037 AS HUGEINT) AS cs, n
+       |  FROM geo
+       |  UNION ALL
+       |  SELECT media_id, i + 1, h2,
+       |    (CAST(xor(
+       |       CAST(CASE WHEN r.cs >= CAST(9223372036854775808 AS HUGEINT)
+       |            THEN r.cs - CAST(18446744073709551616 AS HUGEINT) ELSE r.cs END AS BIGINT),
+       |       CAST(CASE WHEN ub >= 128
+       |            THEN ub - 256 ELSE ub END AS BIGINT)) AS HUGEINT)
+       |     % 18446744073709551616 + 18446744073709551616) % 18446744073709551616
+       |     * 1099511628211 % 18446744073709551616 AS cs,
+       |    n
+       |  FROM rec r,
+       |  LATERAL (SELECT (r.h * 6364136223846793005 + 1442695040888963407)
+       |                  % 18446744073709551616 AS h2) q1,
+       |  LATERAL (SELECT CAST(h2 // 72057594037927936 AS BIGINT) AS ub) q2
+       |  WHERE r.i < r.n)
+       |SELECT r.media_id, 'image' AS kind, r.n AS n_bytes, geo.width, geo.height,
+       |  CAST(CASE WHEN r.cs >= CAST(9223372036854775808 AS HUGEINT)
+       |       THEN r.cs - CAST(18446744073709551616 AS HUGEINT) ELSE r.cs END AS BIGINT) AS checksum
+       |FROM rec r JOIN geo USING (media_id) WHERE r.i = r.n""".stripMargin
+
+  /** q_media_frames replay: only the payload LENGTH matters (closed-form
+    * in the seed); stride enumeration via range(). Frame bytes are whole
+    * 32-byte windows by construction (n_frames = n // 32), so frame_len
+    * is the least() for form only. */
+  private lazy val mediaFramesSql: String =
+    s"""WITH
+       |m AS (SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       |        'vid://doc-' || doc_id || '/clip-0.mp4' AS ref
+       |      FROM documents),
+       |f AS (SELECT media_id, $fnvRefSql AS fnv FROM m),
+       |g AS (SELECT media_id,
+       |        64 + abs(CAST(CASE WHEN fnv >= CAST(9223372036854775808 AS HUGEINT)
+       |            THEN fnv - CAST(18446744073709551616 AS HUGEINT) ELSE fnv END AS BIGINT)) % 192 AS n
+       |      FROM f)
+       |SELECT media_id, CAST(k AS BIGINT) AS frame_idx, CAST(k * 32 AS BIGINT) AS frame_off,
+       |  CAST(least(32, n - k * 32) AS INT) AS frame_len
+       |FROM g, LATERAL (SELECT unnest(range(0, CAST(n // 32 AS BIGINT), 3)) AS k) s""".stripMargin
+
   private lazy val pdfLayoutSql: String =
     """WITH RECURSIVE
        |wl AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, list_filter(regexp_split_to_array(coalesce(text,''), '\s+'), x -> x <> '')[1:160] AS ws FROM documents),
@@ -1352,6 +1472,16 @@ object SparkEntry {
         |  CAST(round(bx1*300) AS BIGINT) AS px1, CAST(round(by1*300) AS BIGINT) AS py1
         |FROM c""".stripMargin,
     // resize planning: identical IEEE-754 double math both sides
+    // stub media payloads are pure mod-2^64 arithmetic seeded by
+    // fnv1a64(ref) (see Multimodal.payloadFromRef): byte count and
+    // width/height are closed-form in the seed; the checksum is a
+    // lockstep recursive CTE advancing the LCG byte stream and the
+    // FNV-1a fold together (one level per payload byte, ≤ 255 levels,
+    // all media advance in parallel per level). XORs that span the full
+    // 64 bits round-trip through signed BIGINT (DuckDB xor is 64-bit);
+    // the payload byte is sign-extended exactly as Scala's Byte→Long.
+    "q_media_features" -> mediaFeaturesSql,
+    "q_media_frames" -> mediaFramesSql,
     "q_resize_plan" ->
       """WITH d AS (SELECT event_id,
         |    CAST((event_id*29 % 4096) + 1 AS DOUBLE) AS w,
@@ -2149,6 +2279,75 @@ object SparkEntry {
          |  SELECT *, regexp_replace(text, '\\s+', '', 'g') AS no_ws FROM emitted)
          |WHERE length(text) >= 100 AND length(no_ws) > 0
          |  AND length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0 / length(no_ws) <= 0.4""".stripMargin,
+    // S1 TXT-path replay at 160/40: space-separator pieces with the
+    // separator re-attached to the following piece (the corpus carries no
+    // newlines and no word reaches chunkSize, so the recursive descent
+    // bottoms out in one mergePieces fold). The fold's post-emit
+    // window-advance loop stops at the first window start l satisfying
+    // (total <= overlap AND (total + nextLen <= chunkSize OR total = 0));
+    // since total = cum(i-1) - cum(l-1), that minimal l — minsat(i) —
+    // depends only on i and is precomputed from prefix sums, so the
+    // recursion carries just the window start and emits (lo, hi) bounds:
+    // lo_new = greatest(lo_old, minsat). Chunk text is reassembled from
+    // the bounds, then the reference keep-filter (pre-filter enumerate
+    // ids, so dropped chunks leave gaps) and the token estimator apply.
+    "kg_chunks_txt" ->
+      """WITH RECURSIVE
+        |doc AS (SELECT doc_id, trim(coalesce(text,'')) AS t FROM documents
+        |        WHERE trim(coalesce(text,'')) <> ''),
+        |w0 AS (SELECT doc_id, string_split(t, ' ') AS ws FROM doc),
+        |p0 AS (SELECT doc_id, unnest(list_zip(ws, range(len(ws)))) AS z FROM w0),
+        |p1 AS (SELECT doc_id, CAST(z[2] AS INT) AS idx,
+        |         CASE WHEN CAST(z[2] AS INT) = 0 THEN z[1] ELSE ' ' || z[1] END AS piece
+        |       FROM p0),
+        |pieces AS MATERIALIZED (
+        |  SELECT doc_id, piece, length(piece) AS len,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS i,
+        |    sum(length(piece)) OVER (PARTITION BY doc_id ORDER BY idx) AS cum
+        |  FROM p1 WHERE piece <> ''),
+        |np AS MATERIALIZED (SELECT doc_id, max(i) AS n FROM pieces GROUP BY doc_id),
+        |minsat AS MATERIALIZED (
+        |  SELECT x.doc_id, x.i, min(l.i) AS ms
+        |  FROM pieces x
+        |  JOIN pieces prev ON prev.doc_id = x.doc_id AND prev.i = x.i - 1
+        |  JOIN pieces l ON l.doc_id = x.doc_id AND l.i <= x.i
+        |  WHERE prev.cum - (l.cum - l.len) <= 40
+        |    AND (prev.cum - (l.cum - l.len) + x.len <= 160 OR prev.cum = (l.cum - l.len))
+        |  GROUP BY x.doc_id, x.i),
+        |rec AS (
+        |  SELECT doc_id, 1 AS i, 1 AS lo,
+        |    CAST(NULL AS BIGINT) AS emit_lo, CAST(NULL AS BIGINT) AS emit_hi
+        |  FROM np
+        |  UNION ALL
+        |  SELECT r.doc_id, r.i + 1,
+        |    CASE WHEN emit THEN greatest(r.lo, m.ms) ELSE r.lo END,
+        |    CASE WHEN emit THEN r.lo END,
+        |    CASE WHEN emit THEN r.i END
+        |  FROM rec r
+        |  JOIN pieces x ON x.doc_id = r.doc_id AND x.i = r.i + 1
+        |  JOIN pieces prev ON prev.doc_id = r.doc_id AND prev.i = r.i
+        |  JOIN pieces lop ON lop.doc_id = r.doc_id AND lop.i = r.lo
+        |  JOIN minsat m ON m.doc_id = r.doc_id AND m.i = r.i + 1,
+        |  LATERAL (SELECT prev.cum - (lop.cum - lop.len) + x.len > 160
+        |                  AND r.lo <= r.i AS emit) e),
+        |bounds AS (
+        |  SELECT doc_id, emit_lo AS lo, emit_hi AS hi FROM rec WHERE emit_lo IS NOT NULL
+        |  UNION ALL
+        |  SELECT r.doc_id, r.lo, r.i FROM rec r JOIN np ON r.doc_id = np.doc_id AND r.i = np.n),
+        |chunks0 AS (
+        |  SELECT b.doc_id, b.lo, b.hi,
+        |    trim(string_agg(p.piece, '' ORDER BY p.i)) AS text
+        |  FROM bounds b JOIN pieces p ON p.doc_id = b.doc_id AND p.i BETWEEN b.lo AND b.hi
+        |  GROUP BY b.doc_id, b.lo, b.hi),
+        |chunks1 AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY hi, lo) - 1 AS chunk_id, text
+        |  FROM chunks0 WHERE text <> '')
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(chunk_id AS INT) AS chunk_id, text,
+        |  CAST(greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')),
+        |       CAST(ceil(length(text) / 4.0) AS INT)) AS INT) AS token_num
+        |FROM (SELECT *, regexp_replace(text, '\\s+', '', 'g') AS no_ws FROM chunks1)
+        |WHERE length(text) >= 100 AND length(no_ws) > 0
+        |  AND length(regexp_replace(no_ws, '[A-Za-z]', '', 'g')) * 1.0 / length(no_ws) <= 0.4""".stripMargin,
     // production simhash replay: FNV-1a64 token hashes and the 64-bit
     // majority signature in HUGEINT mod-2^64 arithmetic, 4x16-bit banded
     // join, Hamming <= 3 — the linear-scale detector, now hash-compared
@@ -2193,6 +2392,7 @@ object SparkEntry {
         |  WHERE bit_count(xor(l.sig, r.sig)) <= 3)
         |SELECT ida, idb, hamming FROM pairs""".stripMargin,
     "q_pdf_layout" -> pdfLayoutSql,
+    "kg_pagerank" -> pageRankSql,
     "kg_search" -> kgSearchSql,
     "kg_global_search" -> kgGlobalSearchSql,
     "kg_search_enriched" -> kgSearchEnrichedSql,

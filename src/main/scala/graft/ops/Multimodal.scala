@@ -21,21 +21,28 @@ object Multimodal {
                            features: Array[Float])
 
   /** Manufacture deterministic binary payloads from a media_ref column —
-    * the stand-in for reading real blobs from object storage. */
+    * the stand-in for reading real blobs from object storage. Every
+    * derived field (byte count, the LCG byte stream, width/height) seeds
+    * from the engine's own fnv1a64 of the ref — pure mod-2^64 arithmetic
+    * with a DuckDB twin (HUGEINT), so the media queries are externally
+    * replayable end-to-end (Spark's Murmur3 `hash()` has no SQL twin). */
   def payloadFromRef(df: DataFrame, refCol: String): DataFrame = {
     val gen = udf((ref: String) => {
       // deterministic pseudo-bytes: FNV stream seeded by the ref
       var h = graft.functions.TextFns.fnv1a64(ref)
-      val n = 64 + (math.abs(h) % 192).toInt
+      val a = math.abs(h)
+      val n = 64 + (a % 192).toInt
       val out = new Array[Byte](n)
       var i = 0
       while (i < n) { h = h * 6364136223846793005L + 1442695040888963407L; out(i) = (h >>> 56).toByte; i += 1 }
-      out
+      (out, (a % 1920 + 64).toInt, ((a / 7) % 1080 + 64).toInt)
     })
-    df.withColumn("payload", gen(col(refCol)))
+    df.withColumn("_gen", gen(col(refCol)))
+      .withColumn("payload", col("_gen._1"))
+      .withColumn("width", col("_gen._2"))
+      .withColumn("height", col("_gen._3"))
+      .drop("_gen")
       .withColumn("kind", when(col(refCol).contains("fig"), "image").otherwise("table_render"))
-      .withColumn("width", (abs(hash(col(refCol))) % 1920 + 64).cast("int"))
-      .withColumn("height", (abs(hash(col(refCol)) / 7) % 1080 + 64).cast("int"))
       .withColumn("format", lit("png"))
   }
 

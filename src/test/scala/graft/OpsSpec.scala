@@ -185,6 +185,15 @@ class OpsSpec extends SparkSpec {
     assert(feats1.map(_.checksum).toSeq === feats2.map(_.checksum).toSeq)
     assert(feats1.forall(_.features.length === 8))
     assert(feats1.map(_.kind).toSet === Set("image", "table_render"))
+    // geometry is pinned to the engine's fnv1a64 seed (NOT Spark's
+    // Murmur3 hash()) so the DuckDB media oracles can replay it — a
+    // silent reseed here would break q_media_features/q_media_frames
+    feats1.foreach { f =>
+      val a = math.abs(graft.functions.TextFns.fnv1a64(f.media_id))
+      assert(f.n_bytes === 64 + (a % 192).toInt)
+      assert(f.width === (a % 1920 + 64).toInt)
+      assert(f.height === ((a / 7) % 1080 + 64).toInt)
+    }
   }
 
   test("multimodal: resize plan aspect-fits and never upscales") {
