@@ -100,7 +100,15 @@ object Bench {
     // future gen=g40 row).
     val rows = all.filter(_._6.contains(s"gen=${graft.app.ScalingBench.Generation} "))
     if (rows.isEmpty) return None
-    def fmt(xs: Seq[Double]) = xs.sorted.map(x => f"$x%.2f").mkString("[", ",", "]")
+    // constant-size five-number summary, NOT the full per-round list: the
+    // harness that collects this line keeps only a fixed tail window of
+    // stdout, and the r2/r3 lines (92-round lists) outgrew it — the JSON
+    // then fails to parse and the whole per-query map is lost. Full
+    // per-round lists live in BENCH/scaling_rows.md / BENCH/BASELINE.md.
+    def fmt(xs: Seq[Double]) = {
+      val s = xs.sorted
+      s"""{"n":${s.size},"min":${f"${s.head}%.2f"},"median":${f"${s(s.size / 2)}%.2f"},"max":${f"${s.last}%.2f"}}"""
+    }
     def list(notes: String, key: String): Vector[Double] = {
       val m = (key + """[= ]([0-9./]+)""").r.findFirstMatchIn(notes)
       m.map(_.group(1).split("/").toVector.map(_.toDouble)).getOrElse(Vector.empty)
@@ -118,7 +126,7 @@ object Bench {
     val memCeil = use.flatMap(r => list(r._6, "memceil"))
     val engineJson =
       if (effEngine.isEmpty) ""
-      else s""""eff_engine":${fmt(effEngine)},"median_eff_engine":${f"${median(effEngine)}%.2f"},""" +
+      else s""""eff_engine":${fmt(effEngine)},""" +
         s""""task_inflation":${fmt(inflation)},"mem_bw_ceiling":${fmt(memCeil)},"""
     Some(
       s"""{"generation":"${graft.app.ScalingBench.Generation}",""" +
