@@ -105,10 +105,12 @@ object Bench {
     // stdout, and the r2/r3 lines (92-round lists) outgrew it — the JSON
     // then fails to parse and the whole per-query map is lost. Full
     // per-round lists live in BENCH/scaling_rows.md / BENCH/BASELINE.md.
-    def fmt(xs: Seq[Double]) = {
-      val s = xs.sorted
-      s"""{"n":${s.size},"min":${f"${s.head}%.2f"},"median":${f"${s(s.size / 2)}%.2f"},"max":${f"${s.last}%.2f"}}"""
-    }
+    def fmt(xs: Seq[Double]) =
+      if (xs.isEmpty) """{"n":0}"""
+      else {
+        val s = xs.sorted
+        s"""{"n":${s.size},"min":${f"${s.head}%.2f"},"median":${f"${s(s.size / 2)}%.2f"},"max":${f"${s.last}%.2f"}}"""
+      }
     def list(notes: String, key: String): Vector[Double] = {
       val m = (key + """[= ]([0-9./]+)""").r.findFirstMatchIn(notes)
       m.map(_.group(1).split("/").toVector.map(_.toDouble)).getOrElse(Vector.empty)

@@ -24,11 +24,18 @@ object SparkEntry {
   private val kgCache = scala.collection.concurrent.TrieMap[
     (SparkSession, String), BuildPipeline.BuildResult]()
 
-  def kg(spark: SparkSession, sfDir: String): BuildPipeline.BuildResult =
+  def kg(spark: SparkSession, sfDir: String): BuildPipeline.BuildResult = {
+    // entries keyed by a STOPPED session are dead weight by construction
+    // (their frames are unusable — that is why the memo keys on the
+    // session at all); evict them on access so a long-lived JVM that
+    // cycles sessions doesn't pin every dead session's stage frames
+    kgCache.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(kgCache.remove)
     kgCache.getOrElseUpdate((spark, sfDir), {
       val n = Corpus.docsForSfDir(sfDir)
       BuildPipeline.run(Corpus.docs(spark, n), new DeterministicExtractor)
     })
+  }
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
@@ -59,6 +66,17 @@ object SparkEntry {
   val OracleExportDir = "/tmp/graft-oracle-export"
 
   def exportForOracles(spark: SparkSession, sfDir: String): Unit = {
+    // clear the fixed path FIRST: a partial export on top of a previous
+    // run's tables would otherwise hand the kg_* oracles a silent mix of
+    // two runs — either confusing failures or, worse, a vacuous pass
+    // against stale data. After the wipe, any table missing from an
+    // aborted export makes its oracle fail LOUDLY (no files to read).
+    val root = new java.io.File(OracleExportDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (root.exists()) rm(root)
     val r = kg(spark, sfDir)
     def w(df: DataFrame, name: String): Unit =
       df.coalesce(4).write.mode("overwrite").parquet(s"$OracleExportDir/$name")
@@ -119,12 +137,16 @@ object SparkEntry {
   private val curateCache = scala.collection.concurrent.TrieMap[
     (SparkSession, String),
     (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
-  private def curated(s: SparkSession, d: String) =
+  private def curated(s: SparkSession, d: String) = {
+    // same stopped-session eviction as [[kg]]
+    curateCache.keysIterator.filter(_._1.sparkContext.isStopped)
+      .foreach(curateCache.remove)
     curateCache.getOrElseUpdate((s, d), {
       val (packed, stats, _) = graft.ops.Curation.curateHandle(
         s.read.parquet(t(d, "documents")), "doc_id", "text")
       (packed, stats)
     })
+  }
 
   /** Synthesized per-document source URL for the domain-curation entries
     * (the synthetic corpus has no URL column): doc_id % 10 buckets map to

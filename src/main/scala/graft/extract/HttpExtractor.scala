@@ -132,8 +132,17 @@ class HttpExtractor(
         // [0, min(max, multiplier * 2^(attempt-1))]
         val cap = math.min(maxBackoffMs, backoffMultiplierMs << (attempt - 1))
         val sleep = (java.util.concurrent.ThreadLocalRandom.current().nextDouble() * cap).toLong
+        // Spark cancels tasks with Thread.interrupt(); an interrupted
+        // backoff must ABORT the retry loop, not continue into more
+        // blocking HTTP calls (which ignore the interrupt flag and can
+        // pin a killed task for connect+read timeouts per attempt)
         try Thread.sleep(sleep)
-        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+        catch {
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw new RuntimeException(
+              s"extractor retry interrupted (task cancelled) after $attempt attempts", e)
+        }
       }
       attempt += 1
       try return once(body)

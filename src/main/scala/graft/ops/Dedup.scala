@@ -283,13 +283,21 @@ object Dedup {
     * bandBits=8 gives 8 bands covering maxHamming<=7 at the cost of more
     * candidates (the 100 TB trade-off knob). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bandBits: Int = 16): DataFrame = {
+                   maxHamming: Int = 3, bandBits: Int = 16): DataFrame =
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig")),
+      maxHamming, bandBits)
+
+  /** [[simhashPairs]] over an ALREADY-COMPUTED (id, sig) table — lets a
+    * caller that needs the signatures for its own purposes (the
+    * candidate-volume valve) compute them exactly once. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame,
+                                          maxHamming: Int, bandBits: Int): DataFrame = {
     require(64 % bandBits == 0, s"bandBits must divide 64, got $bandBits")
     val bands = 64 / bandBits
     require(maxHamming <= bands - 1,
       s"maxHamming=$maxHamming needs >= ${maxHamming + 1} bands (pigeonhole); got $bands")
     val mask = (1L << bandBits) - 1
-    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, shiftright(sig, b*$bandBits) & ${mask}L as bv))")).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bv"))
@@ -356,7 +364,11 @@ object Dedup {
       : (DataFrame, () => Unit) = {
     val bands = 64 / bandBits
     val mask = (1L << bandBits) - 1
-    val sigs = df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig"))
+    // signatures computed ONCE and stage-cut: the valve probe and the
+    // non-tripped pair generation both read them (recomputing the
+    // tokenize+FNV fold per consumer would double the corpus scan cost)
+    val (sigs, sigsRdd) = graft.core.Materialize.stageCutHandle(
+      df.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("sig")))
     // double, not long: the probe is a heuristic and Σc² on a pathological
     // corpus can exceed Long — overflow must not wrap into "small"
     val vol = sigs
@@ -376,11 +388,14 @@ object Dedup {
         "to minhash LSH (same exact-Jaccard verification; banding recall audited by " +
         "DedupSpec/OracleCheck). The wide net is an oracle bridge for verify-scale " +
         "corpora, not a production detector -- see simhashPairs for the linear path.")
+      sigsRdd.unpersist(blocking = false)
       minhashLshPairsHandle(df, idCol, textCol, k, threshold = threshold)
-    } else
-      verifyJaccardHandle(
-        simhashPairs(df, idCol, textCol, maxHamming, bandBits).select("ida", "idb"),
+    } else {
+      val (res, free) = verifyJaccardHandle(
+        simhashPairsFromSigs(sigs, maxHamming, bandBits).select("ida", "idb"),
         shingleSets(df, idCol, textCol, k), threshold)
+      (res, () => { free(); sigsRdd.unpersist(blocking = false) })
+    }
   }
 
   /** Near-dup **clustering with survivor selection** — what a training

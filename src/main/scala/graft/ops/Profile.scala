@@ -39,9 +39,15 @@ object Profile {
       .agg(count(lit(1)).as("c"))
     val cum = hist.withColumn("cum",
       sum("c").over(Window.partitionBy("stratum").orderBy("v")))
-    val totals = cum.groupBy("stratum").agg(
-      sum("c").as("n"), sum(col("v") * col("c")).as("sv"))
-    val j = cum.join(totals, Seq("stratum"))
+    // per-stratum totals as WINDOW aggregates, not a groupBy+re-join: the
+    // window partitioner treats a NULL stratum key as a real partition
+    // (null-safe, where a Seq-join would silently drop the NULL group),
+    // and the frame reuses the cum window's hash partitioning — no second
+    // shuffle, no join
+    val wAll = Window.partitionBy("stratum")
+    val j = cum
+      .withColumn("n", sum("c").over(wAll))
+      .withColumn("sv", sum(col("v") * col("c")).over(wAll))
     // per percentile: the two bracketing order statistics are min-v with
     // cumulative count past ⌊h⌋ / ⌈h⌉ (0-based index i lives at cum ≥ i+1)
     val pcols = ps.map { p =>
@@ -64,7 +70,13 @@ object Profile {
     // n_rows counts NON-NULL values (0 for the degenerate stratum),
     // consistent with the NULL-ignoring order statistics above.
     val strata = df.select(col(strataCol).as("stratum")).distinct()
-    strata.join(perStratum, Seq("stratum"), "left")
+    // null-SAFE join key: a NULL stratum is a legitimate group (both
+    // Spark's groupBy and DuckDB's GROUP BY treat NULL keys as equal);
+    // a Seq-based equi-join would never match it and silently replace
+    // its computed stats with the degenerate n_rows=0 row
+    strata.join(perStratum.withColumnRenamed("stratum", "_ps_stratum"),
+        strata("stratum") <=> col("_ps_stratum"), "left")
+      .drop("_ps_stratum")
       .withColumn("n_rows", coalesce(col("n_rows"), lit(0L)))
   }
 }

@@ -829,6 +829,22 @@ class OpsSpec extends SparkSpec {
       "mean and percentiles of an all-NULL stratum are NULL, not fabricated")
   }
 
+  test("percentiles: a NULL stratum KEY keeps its computed stats (null-safe join)") {
+    import graft.ops.Profile
+    // a NULL key is a legitimate group; the strata-universe left join
+    // must match it null-safely instead of degrading it to n_rows=0
+    val d = Seq((Option("a"), Option(2)), (None: Option[String], Option(10)),
+        (None: Option[String], Option(20)))
+      .toDF("src", "len")
+    val rows = Profile.percentiles(d, "src", "len", Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) -> r).toMap
+    assert(rows.keySet === Set(Some("a"), None))
+    val n = rows(None)
+    assert(n.getLong(1) === 2L, "NULL stratum keeps its row count")
+    assert(n.getDouble(2) === 15.0, "NULL stratum keeps its mean")
+    assert(n.getDouble(3) === 15.0, "NULL stratum keeps its median")
+  }
+
   test("curation funnel: monotone retention, contiguous packing, clean teardown") {
     import graft.ops.Curation
     docs.count() // materialize the fixture's own cache before the snapshot
