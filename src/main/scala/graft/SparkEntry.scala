@@ -63,7 +63,13 @@ object SparkEntry {
     *
     * One fixed path, overwritten per Verify run — the verify process
     * builds exactly one sfDir, and oracles run after all queries. */
-  val OracleExportDir = "/tmp/graft-oracle-export"
+  // PID-scoped: the oracle SQL strings embed this path at class-init in
+  // the SAME JVM that exports (Verify), and the harness reads the path
+  // back out of oracle_sql.json — so per-process scoping round-trips
+  // cleanly while making two concurrent Verify runs on one host unable
+  // to wipe or overwrite each other's exports mid-run.
+  val OracleExportDir =
+    s"/tmp/graft-oracle-export-${ProcessHandle.current().pid()}"
 
   def exportForOracles(spark: SparkSession, sfDir: String): Unit = {
     // clear the fixed path FIRST: a partial export on top of a previous
@@ -2396,11 +2402,16 @@ object SparkEntry {
         |  SELECT doc_id, sum(CASE WHEN acc > 0 THEN (CAST(1 AS HUGEINT) << bit)
         |    ELSE CAST(0 AS HUGEINT) END) AS usig
         |  FROM bits GROUP BY doc_id),
+        |-- LEFT JOIN from the full document set: a doc with NO alphanumeric
+        |-- tokens produces zero `toks` rows and would vanish here, but the
+        |-- engine gives it sig=0 and (correctly) pairs empty docs with each
+        |-- other as trivial duplicates — coalesce keeps that semantics
         |sigs AS (
-        |  SELECT doc_id AS id,
-        |    CAST(CASE WHEN usig >= CAST(9223372036854775808 AS HUGEINT)
-        |         THEN usig - CAST(18446744073709551616 AS HUGEINT) ELSE usig END AS BIGINT) AS sig
-        |  FROM sigs0),
+        |  SELECT d.doc_id AS id,
+        |    CAST(CASE WHEN coalesce(usig, CAST(0 AS HUGEINT)) >= CAST(9223372036854775808 AS HUGEINT)
+        |         THEN coalesce(usig, CAST(0 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT)
+        |         ELSE coalesce(usig, CAST(0 AS HUGEINT)) END AS BIGINT) AS sig
+        |  FROM documents d LEFT JOIN sigs0 ON d.doc_id = sigs0.doc_id),
         |banded AS (
         |  SELECT id, sig, b.b AS band,
         |    CAST((CASE WHEN sig >= 0 THEN CAST(sig AS HUGEINT)

@@ -54,6 +54,10 @@ class HttpExtractor(
     connectTimeoutMs: Int = 10000,
     readTimeoutMs: Int = 120000) extends SpanExtractor {
 
+  // fail fast with a real message: maxAttempts <= 0 would otherwise skip
+  // the retry loop entirely and NPE on the never-assigned lastFailure
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+
   override def maxConcurrency: Int = 10
 
   // --- SpanExtractor surface --------------------------------------------

@@ -182,8 +182,18 @@ object Dedup {
       // size(ids) after collecting would still accumulate a boilerplate
       // shingle's entire posting list (millions of ids at corpus scale)
       // in one aggregation buffer before discarding it.
-      val hot = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
+      // with the exploded stream uncached, stage-cut the (tiny, O(#hot
+      // shingles)) hot table itself: it feeds BOTH the grouped and the
+      // docFeats stage-cuts, and leaving it lazy makes each of them
+      // recompute the aggregation — a fourth full-corpus shingle scan
+      val hot0 = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
         .filter(col("df_g") > maxShingleDf).select("g")
+      val (hot, hotFree): (DataFrame, () => Unit) =
+        if (cacheExploded) (hot0, () => ())
+        else {
+          val (d, r) = graft.core.Materialize.stageCutHandle(hot0)
+          (d, () => r.unpersist(blocking = false))
+        }
       // dup-shingle working set (groups of 2..cap docs), stage-cut because
       // both sides of the pair join read it; pairs expand through a
       // posexplode self-join on (group, i < j) — pure codegen, and
@@ -232,6 +242,7 @@ object Dedup {
       (out, () => {
         groupedRdd.unpersist(blocking = false)
         docFeatsFree()
+        hotFree()
         exFree()
       })
     } else {
@@ -362,7 +373,14 @@ object Dedup {
                                  maxHamming: Int = 15, bandBits: Int = 4,
                                  maxCandidates: Long = 100000000L)
       : (DataFrame, () => Unit) = {
+    // validate UNCONDITIONALLY, before the probe: otherwise a bad banding
+    // config on a hot corpus silently succeeds through the minhash
+    // fallback while the same call on a sparse corpus throws — parameter
+    // validation must not be data-dependent
+    require(64 % bandBits == 0, s"bandBits must divide 64, got $bandBits")
     val bands = 64 / bandBits
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs >= ${maxHamming + 1} bands (pigeonhole); got $bands")
     val mask = (1L << bandBits) - 1
     // signatures computed ONCE and stage-cut: the valve probe and the
     // non-tripped pair generation both read them (recomputing the

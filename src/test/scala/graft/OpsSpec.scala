@@ -51,6 +51,18 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8)
   }
 
+  test("simhash: token-less documents get sig=0 and pair as trivial duplicates") {
+    // pins the semantics the q_simhash_ham oracle mirrors with its
+    // LEFT JOIN + coalesce(usig, 0): empty / all-punctuation docs must
+    // not vanish from the signature table — they are identical to each
+    // other (hamming 0) and the engine reports them as such
+    val d = Seq((1L, "alpha beta gamma"), (2L, "!!!"), (3L, ""), (4L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((2L, 3L, 0), (1L, 4L, 0)))
+  }
+
   test("simhash-verified pairs: exact subset of the true pair relation, all >= threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
