@@ -89,15 +89,21 @@ leg() {
   # an unconditional VAR=${VAR:-} assignment exports the EMPTY string, and
   # the engine gates diagnostics on sys.env.contains — the opt-in would be
   # silently always-on for every cluster leg
+  # driver heap 6g: two of four 384k campaigns lost an 8-core leg to a
+  # SILENT driver death (the grep filter below was eating the exception
+  # output) — the driver is unpinned and off the measured executors, so
+  # its heap does not participate in the measurement. The full driver
+  # output is now tee'd per leg so the next failure is diagnosable.
   env ${GRAFT_STAGE_TIMING:+GRAFT_STAGE_TIMING=$GRAFT_STAGE_TIMING} \
   GRAFT_EXEC_HEAP_GB=$EXEC_HEAP_GB \
-  java $ADD_OPENS -Xms4g -Xmx4g -XX:+AlwaysPreTouch \
+  java $ADD_OPENS -Xms6g -Xmx6g -XX:+AlwaysPreTouch \
     -Dgraft.execJavaOpts="$EXEC_OPTS" \
     -Dgraft.classes="$CLASSES" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CLASSES:/opt/spark/jars/*" \
     graft.app.ScalingBench cluster $MASTER_URL $((k*8)) $NDOCS $CSV \
-    2>&1 | grep -E "\[scaling|\[stage-timing|\[link-timing" || true
+    2>&1 | tee /tmp/graft-scaling-driver-${k}x.log \
+         | grep -E "\[scaling|\[stage-timing|\[link-timing" || true
   cleanup
 }
 
