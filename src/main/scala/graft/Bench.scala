@@ -105,11 +105,18 @@ object Bench {
     // stdout, and the r2/r3 lines (92-round lists) outgrew it — the JSON
     // then fails to parse and the whole per-query map is lost. Full
     // per-round lists live in BENCH/scaling_rows.md / BENCH/BASELINE.md.
+    // true median: average the two middle elements for even n — s(n/2)
+    // alone reports the UPPER-middle (a 2-round row's max) as "median"
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     def fmt(xs: Seq[Double]) =
       if (xs.isEmpty) """{"n":0}"""
       else {
         val s = xs.sorted
-        s"""{"n":${s.size},"min":${f"${s.head}%.2f"},"median":${f"${s(s.size / 2)}%.2f"},"max":${f"${s.last}%.2f"}}"""
+        s"""{"n":${s.size},"min":${f"${s.head}%.2f"},"median":${f"${median(s)}%.2f"},"max":${f"${s.last}%.2f"}}"""
       }
     def list(notes: String, key: String): Vector[Double] = {
       val m = (key + """[= ]([0-9./]+)""").r.findFirstMatchIn(notes)
@@ -118,7 +125,6 @@ object Bench {
     // at-scale rounds: the build stops being latency-dominated >= 96k docs
     val big = rows.filter(_._1 >= 96000L)
     val use = if (big.nonEmpty) big else rows
-    def median(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
     // a campaign row carries its per-round PAIRED lists in the notes —
     // expand them so the reported distribution is per paired round, not
     // per campaign; fall back to the row's best-of columns when absent

@@ -543,7 +543,7 @@ object SparkEntry {
     // through the quarantining source — the round-trip must be lossless
     "q_jsonl_roundtrip" -> ((s, d) => {
       val docs = s.read.parquet(t(d, "documents"))
-      val dir = s"/tmp/graft-jsonl-rt-${math.abs(d.hashCode)}"
+      val dir = s"/tmp/graft-jsonl-rt-${d.hashCode & Int.MaxValue}"
       graft.io.DocSources.writeJsonl(docs, dir, shards = 8)
       graft.io.DocSources.jsonl(s, dir)._1
     }),
@@ -1279,8 +1279,7 @@ object SparkEntry {
        |  SELECT media_id, $fnvRefSql AS fnv FROM m),
        |g AS MATERIALIZED (
        |  SELECT media_id, fnv,
-       |    abs(CAST(CASE WHEN fnv >= CAST(9223372036854775808 AS HUGEINT)
-       |        THEN fnv - CAST(18446744073709551616 AS HUGEINT) ELSE fnv END AS BIGINT)) AS a
+       |    CAST(fnv % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) AS a
        |  FROM f),
        |geo AS MATERIALIZED (
        |  SELECT media_id, fnv, CAST(64 + a % 192 AS INT) AS n,
@@ -1321,8 +1320,7 @@ object SparkEntry {
        |      FROM documents),
        |f AS (SELECT media_id, $fnvRefSql AS fnv FROM m),
        |g AS (SELECT media_id,
-       |        64 + abs(CAST(CASE WHEN fnv >= CAST(9223372036854775808 AS HUGEINT)
-       |            THEN fnv - CAST(18446744073709551616 AS HUGEINT) ELSE fnv END AS BIGINT)) % 192 AS n
+       |        64 + CAST(fnv % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) % 192 AS n
        |      FROM f)
        |SELECT media_id, CAST(k AS BIGINT) AS frame_idx, CAST(k * 32 AS BIGINT) AS frame_off,
        |  CAST(least(32, n - k * 32) AS INT) AS frame_len

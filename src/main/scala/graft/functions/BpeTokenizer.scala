@@ -25,29 +25,64 @@ package graft.functions
   * the shipped path. */
 final class BpeTokenizer(ranks: Map[(String, String), Int]) extends Serializable {
 
-  /** Number of BPE symbols a single pre-token encodes to. */
+  /** Number of BPE symbols a single pre-token encodes to.
+    *
+    * Linked symbols + a lazily-validated min-heap of merge candidates —
+    * O(L log L) per piece, not the O(L²)–O(L³) of rescanning every
+    * adjacent pair after each merge with Buffer.remove. The distinction
+    * matters exactly where a counter meets real corpora: one long
+    * unbroken alphanumeric run (a base64 / hex blob with no whitespace
+    * is a single pre-token) must not stall the chunker hot path.
+    * Semantics are unchanged: each step applies the lowest-rank pair,
+    * leftmost on ties — the heap orders by (rank, left position) and a
+    * popped candidate is applied only if its pair is still adjacent and
+    * unmodified (stale entries are discarded on pop). */
   private[functions] def encodedLength(piece: String): Int = {
-    if (piece.isEmpty) return 0
-    var symbols = piece.map(_.toString).toBuffer
-    var done = false
-    while (!done && symbols.length > 1) {
-      // find the lowest-rank adjacent pair present in the vocabulary
-      var bestRank = Int.MaxValue
-      var bestIdx = -1
-      var i = 0
-      while (i < symbols.length - 1) {
-        val r = ranks.getOrElse((symbols(i), symbols(i + 1)), Int.MaxValue)
-        if (r < bestRank) { bestRank = r; bestIdx = i }
-        i += 1
-      }
-      if (bestIdx < 0) done = true
-      else {
-        val merged = symbols(bestIdx) + symbols(bestIdx + 1)
-        symbols.update(bestIdx, merged)
-        symbols.remove(bestIdx + 1)
+    val n = piece.length
+    if (n == 0) return 0
+    if (n == 1) return 1
+    // doubly-linked symbol list over original character positions; a
+    // merged symbol lives at its LEFT constituent's index, so heap
+    // positions stay stable and left-to-right ordered across merges
+    val sym = new Array[String](n)
+    val prev = new Array[Int](n)
+    val next = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      sym(i) = String.valueOf(piece.charAt(i))
+      prev(i) = i - 1
+      next(i) = if (i == n - 1) -1 else i + 1
+      i += 1
+    }
+    // candidate = (rank, leftIdx, leftSym, rightSym); ordering (rank, pos)
+    final case class Cand(rank: Int, pos: Int, left: String, right: String)
+    val heap = scala.collection.mutable.PriorityQueue.empty[Cand](
+      Ordering.by((c: Cand) => (-c.rank, -c.pos)))
+    def push(pos: Int): Unit = {
+      val nx = next(pos)
+      if (nx >= 0) ranks.get((sym(pos), sym(nx)))
+        .foreach(r => heap.enqueue(Cand(r, pos, sym(pos), sym(nx))))
+    }
+    i = 0
+    while (i < n - 1) { push(i); i += 1 }
+    var count = n
+    while (heap.nonEmpty && count > 1) {
+      val c = heap.dequeue()
+      val l = c.pos
+      val r = next(l)
+      // stale if either side was merged away or rewritten since enqueue
+      if (sym(l) != null && r >= 0 && sym(l) == c.left && sym(r) == c.right) {
+        sym(l) = c.left + c.right
+        val rn = next(r)
+        sym(r) = null
+        next(l) = rn
+        if (rn >= 0) prev(rn) = l
+        count -= 1
+        if (prev(l) >= 0) push(prev(l))
+        push(l)
       }
     }
-    symbols.length
+    count
   }
 
   private val Run = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+")

@@ -83,9 +83,15 @@ object DocSources {
       // Text buffer across records
       .map { case (off, t) => (off.get(), t.toString) }
     val headerLine = docSchema.fieldNames.mkString(",")
+    // rtrim the CR explicitly BEFORE the compare: the Hadoop
+    // LineRecordReader already strips \r from CRLF lines, but that is an
+    // input-format detail this predicate must not silently depend on —
+    // any future line source that preserves the CR keeps its header
+    // recognized (trim() alone removes only spaces).
+    val line = trim(rtrim(col("value"), "\r"))
     split(spark.createDataFrame(lines).toDF("off", "value")
-      .filter(length(trim(col("value"))) > 0 &&
-        !(col("off") === 0 && trim(col("value")) === headerLine))
+      .filter(length(line) > 0 &&
+        !(col("off") === 0 && line === headerLine))
       .select(col("value"),
         from_csv(col("value"), withCorrupt(docSchema), parseOpts).as("d")))
   }

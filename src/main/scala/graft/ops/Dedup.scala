@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default shingle document-frequency cap for n-gram Jaccard candidate
+    * generation. Candidate volume through one shingle is df·(df−1)/2, so
+    * the default bounds any single shingle's contribution to ~500k pairs
+    * and shuts off the sum(df²) blowup on stop-shingles that an uncapped
+    * external call would otherwise execute at corpus scale. 0 = uncapped,
+    * explicit opt-in only. */
+  val DefaultMaxShingleDf: Long = 1000L
+
   /** Exact dedup: hash-groupBy, canonical survivor = min id.
     * Returns (id, content_hash, group_size, keep).
     *
@@ -115,11 +123,19 @@ object Dedup {
     * ultra-common shingles cannot reach a high Jaccard). The cap prunes
     * CANDIDATES only — every surviving pair is re-verified against the FULL
     * shingle sets, so the reported Jaccard (numerator included) is exact
-    * regardless of the cap. Pass maxShingleDf=0 to disable the cap (small
-    * data / oracle-parity mode). */
+    * regardless of the cap.
+    *
+    * The cap DEFAULTS ON (1000): an uncapped call at corpus scale selects
+    * the blocked self-join whose candidate volume is sum(df^2) over
+    * stop-shingles — the scale-killing plan. A pair can only be *missed*
+    * by the cap if every shingle it shares appears in >1000 documents,
+    * i.e. the two docs overlap only through boilerplate; at the default
+    * 0.8 threshold such a pair is not a near-duplicate. Pass
+    * maxShingleDf=0 to EXPLICITLY opt into the uncapped all-shingles
+    * plan (small data / oracle-parity mode only). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
-                        maxShingleDf: Long = 0L): DataFrame =
+                        maxShingleDf: Long = DefaultMaxShingleDf): DataFrame =
     // fire-and-forget callers discard the cleanup thunk, so this wrapper
     // must not pin a corpus-TOKEN-sized cache for the session lifetime:
     // it trades the exploded-stream cache for re-shingling (3 scans) and
@@ -138,7 +154,7 @@ object Dedup {
     * post-cleanup consumer recomputes instead of failing. */
   def ngramJaccardPairsHandle(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, threshold: Double = 0.8,
-                              maxShingleDf: Long = 0L): (DataFrame, () => Unit) =
+                              maxShingleDf: Long = DefaultMaxShingleDf): (DataFrame, () => Unit) =
     ngramJaccardImpl(df, idCol, textCol, k, threshold, maxShingleDf,
       cacheExploded = true)
 

@@ -30,7 +30,11 @@ object Multimodal {
     val gen = udf((ref: String) => {
       // deterministic pseudo-bytes: FNV stream seeded by the ref
       var h = graft.functions.TextFns.fnv1a64(ref)
-      val a = math.abs(h)
+      // low-63-bit mask, NOT math.abs: abs(Long.MinValue) is negative,
+      // which would yield a negative byte count / width, and the DuckDB
+      // twin's abs(BIGINT) errors on that value — the mask is total and
+      // has the exact HUGEINT twin `fnv % 2^63`
+      val a = h & Long.MaxValue
       val n = 64 + (a % 192).toInt
       val out = new Array[Byte](n)
       var i = 0

@@ -33,6 +33,59 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(bpe.countTokens("   \n\t ") === 0)
   }
 
+  test("heap-based merge loop matches the rescan reference on random pieces") {
+    // the O(L log L) linked-symbol/heap implementation must be
+    // step-for-step equivalent to the quadratic rescan loop it replaced:
+    // lowest rank first, leftmost on ties
+    def reference(ranks: Map[(String, String), Int], piece: String): Int = {
+      var symbols = piece.map(_.toString).toBuffer
+      var done = false
+      while (!done && symbols.length > 1) {
+        var bestRank = Int.MaxValue; var bestIdx = -1; var i = 0
+        while (i < symbols.length - 1) {
+          val r = ranks.getOrElse((symbols(i), symbols(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; bestIdx = i }
+          i += 1
+        }
+        if (bestIdx < 0) done = true
+        else {
+          symbols.update(bestIdx, symbols(bestIdx) + symbols(bestIdx + 1))
+          symbols.remove(bestIdx + 1)
+        }
+      }
+      symbols.length
+    }
+    val rnd = new scala.util.Random(42)
+    // dense vocabulary over a tiny alphabet maximizes overlapping-merge
+    // tie cases ("aaa…" chains) where ordering bugs would diverge
+    val alpha = "ab"
+    val pairs = for (a <- alpha; b <- alpha) yield (a.toString, b.toString)
+    val vocab = rnd.shuffle(pairs.toVector).zipWithIndex.toMap ++
+      Vector(("aa", "b"), ("ab", "ab"), ("ba", "a"), ("b", "ab")).zipWithIndex
+        .map { case (p, i) => p -> (100 + i) }.toMap
+    val tok = new BpeTokenizer(vocab)
+    for (_ <- 1 to 300) {
+      val len = 1 + rnd.nextInt(24)
+      val s = Vector.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      // letters-only piece => one pre-token, so countTokens == encodedLength
+      assert(tok.countTokens(s) === reference(vocab, s), s"piece: $s")
+    }
+  }
+
+  test("one long unbroken alphanumeric run does not stall the counter") {
+    // a base64/hex blob with no whitespace is a SINGLE pre-token; the
+    // old rescan loop was O(L^2)+ here and stalled the chunker hot path
+    val rnd = new scala.util.Random(7)
+    // letters only: [A-Za-z]+ pre-tokenization keeps it ONE piece
+    val blob = Vector.fill(200000)("abcdefghijklmnopqrstuvwxyz"(rnd.nextInt(26))).mkString
+    val t0 = System.nanoTime()
+    val n = bpe.countTokens(blob)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"200k-char run -> $n symbols in $secs%.2f s")
+    assert(n > 0)
+    assert(secs < 10.0, f"long-run counting stalled: $secs%.1f s")
+  }
+
   test("merges file loader skips comments and blank lines, rejects empty vocab") {
     // the fixture itself carries a comment line — load() above succeeded
     val empty = java.nio.file.Files.createTempFile("bpe-empty", ".txt")

@@ -41,6 +41,36 @@ class OpsSpec extends SparkSpec {
     assert((lsh diff exact).isEmpty)
   }
 
+  test("ngram jaccard default cap never generates a candidate through a hot shingle") {
+    // 1102 docs share one boilerplate sentence -> every boilerplate
+    // shingle has df > DefaultMaxShingleDf (1000). Docs 9001/9002 are
+    // identical PURE boilerplate (a real J=1.0 pair — proven on a small
+    // uncapped subset below); the default path must not surface it,
+    // because its only shared shingles are hot and the cap excludes them
+    // from candidate generation entirely. Docs 9003/9004 duplicate a
+    // UNIQUE text (df=2 shingles) and must still be found — the cap
+    // prunes hot shingles only, not near-dup detection.
+    assert(Dedup.DefaultMaxShingleDf === 1000L)
+    val boiler = "terms of service apply to all users"
+    val corpus =
+      (1 to 1100).map(i => (i.toLong, s"$boiler unique content piece $i alpha")) ++
+      Seq((9001L, boiler), (9002L, boiler),
+          (9003L, "completely different duplicated report text here"),
+          (9004L, "completely different duplicated report text here"))
+    val d = corpus.toDF("doc_id", "text")
+    val byDefault = Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.8)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byDefault === Set((9003L, 9004L)),
+      "default path: cold-shingle dup found, hot-shingle-only pair never a candidate")
+    // the missed pair IS a true duplicate — the uncapped (opt-in) path on
+    // a small subset reports it at jaccard 1.0
+    val sub = corpus.filter(c => c._1 >= 9001 || c._1 <= 3).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(sub, "doc_id", "text", k = 3,
+        threshold = 0.8, maxShingleDf = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped.contains((9001L, 9002L, 1.0)))
+  }
+
   test("simhash pairs include the exact near-dup pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.95)
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
