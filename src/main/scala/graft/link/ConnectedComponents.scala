@@ -226,4 +226,58 @@ object ConnectedComponents {
       }
       .toDF("key", "v", "component")
   }
+
+  /** [[runPerKey]] over 64-bit vertex ids: the groupByKey shuffle carries
+    * `(key, long, long)` rows instead of name strings — the linker's
+    * dictionary-encoded path (names are hashed to ids after the slim name
+    * table materializes; strings rejoin from that side table at cluster
+    * resolution). Same union-find, same contract: edge endpoints absent
+    * from the vertex stream bridge components but are not emitted.
+    *
+    * Component label = MIN id of the component — deterministic but NOT the
+    * lexicographic-min member name (ids are hashes); callers treat labels
+    * as opaque grouping keys, which is all the linker's resolution stage
+    * ever did with them.
+    *
+    * Vertex rows ride the same union as edge rows with `b` = the vertex id
+    * itself and a marker flag (a typed Dataset of primitive longs cannot
+    * carry the string path's `null` sentinel).
+    */
+  def runPerKeyLong(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val vRows = vertices.select(col("key"), col("v").as("a"), col("v").as("b"),
+      lit(true).as("is_v"))
+    val eRows = edges.select(col("key"), col("a"), col("b"), lit(false).as("is_v"))
+    vRows.union(eRows).as[(String, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key: String, rows: Iterator[(String, Long, Long, Boolean)]) =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        val declared = new scala.collection.mutable.LongMap[Boolean]()
+        def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        rows.foreach { case (_, a, b, isV) =>
+          if (isV) { add(a); declared(a) = true }
+          else {
+            add(a); add(b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+        }
+        // snapshot keys before emitting — find() path-compresses (writes),
+        // and LongMap, like HashMap, may grow mid-iteration; see the
+        // string twin above for the multi-executor row-loss post-mortem
+        val ks = new Array[Long](parent.size)
+        var i = 0
+        parent.foreachKey { k => ks(i) = k; i += 1 }
+        ks.iterator.filter(declared.contains).map(v => (key, v, find(v)))
+      }
+      .toDF("key", "v", "component")
+  }
 }

@@ -58,7 +58,24 @@ object Linker {
     * (node names, edge sources, edge targets, property owners) are
     * concatenated inside the row before exploding — one pass, no 4-way
     * union. */
-  def mentionAgg(logs: Dataset[ExtractionLog]): DataFrame = {
+  def mentionAgg(logs: Dataset[ExtractionLog]): DataFrame =
+    mentionsRaw(logs)
+      .groupBy(col("doc_id"), col("chunk_id"), col("name_norm"))
+      .agg(
+        min(col("display")).as("display"),
+        collect_set(col("description")).as("descs_set"),
+        // type-split gatherings for A6 containment assignment (reference
+        // node_matcher.py:118-142: node/edge names match by containment,
+        // property owners by exact name)
+        collect_set(when(!col("is_prop"), col("description"))).as("ne_set"),
+        collect_set(when(col("is_prop"), col("description"))).as("prop_set"))
+
+  /** The exploded mention stream itself: (doc_id, chunk_id, display,
+    * description, is_prop, name_norm), one row per mention occurrence —
+    * shared by the desc-bearing chunk aggregation ([[mentionAgg]]) and the
+    * desc-FREE slim name rollup ([[uniqueNamesSlim]]; column pruning drops
+    * the description column from that plan's scan and shuffle). */
+  def mentionsRaw(logs: Dataset[ExtractionLog]): DataFrame = {
     def m(display: Column, description: Column, isProp: Boolean) =
       struct(display.as("display"), description.as("description"),
         lit(isProp).as("is_prop"))
@@ -76,16 +93,21 @@ object Linker {
         col("mention.is_prop").as("is_prop"))
       .withColumn("name_norm", lower(trim(col("display"))))
       .filter(col("name_norm") =!= "")
-      .groupBy(col("doc_id"), col("chunk_id"), col("name_norm"))
-      .agg(
-        min(col("display")).as("display"),
-        collect_set(col("description")).as("descs_set"),
-        // type-split gatherings for A6 containment assignment (reference
-        // node_matcher.py:118-142: node/edge names match by containment,
-        // property owners by exact name)
-        collect_set(when(!col("is_prop"), col("description"))).as("ne_set"),
-        collect_set(when(col("is_prop"), col("description"))).as("prop_set"))
   }
+
+  /** Doc-level slim name table (doc_id, name_norm, display) computed
+    * WITHOUT the desc-bearing chunk aggregation: one desc-free shuffle of
+    * (doc_id, name_norm, display) with map-side combine. Same rows as
+    * `uniqueNamesSlimFrom(mentionAgg(logs))` — the global min(display) is
+    * the min of the per-chunk mins — but the description payloads never
+    * enter ANY corpus-wide shuffle; [[canonicalMappingResult]] re-derives
+    * them from the (materialized) logs for the ambiguous ~2% of documents
+    * only. */
+  def uniqueNamesSlim(logs: Dataset[ExtractionLog]): DataFrame =
+    mentionsRaw(logs)
+      .select(col("doc_id"), col("name_norm"), col("display"))
+      .groupBy(col("doc_id"), col("name_norm"))
+      .agg(min(col("display")).as("display"))
 
   /** Unique normalized names per doc with a deterministic display form and
     * the gathered descriptions of the mentions (A6: used for ambiguous
@@ -146,6 +168,20 @@ object Linker {
       .filter(tokenSetRatioCol(col("a"), col("b")) >= MatchThreshold)
   }
 
+  /** [[matchedPairs]] with dictionary-encoded OUTPUT: the blocking join is
+    * byte-identical to the string path (the token_set_ratio filter needs
+    * the name strings at the join, so they ride it — adding the id as a
+    * join payload was measured NET-NEGATIVE: +8 bytes across the two fat
+    * tok-join sides outweighs every downstream saving). The ids appear
+    * only in the final projection — `xxhash64` of each matched name — so
+    * the union-find shuffle consumes `(doc_id, long, long)` rows at zero
+    * added cost upstream. Same non-dedup contract as [[matchedPairs]]:
+    * a pair sharing k prefixes is emitted k times; union-find absorbs
+    * duplicates for free. */
+  def matchedPairIds(names: DataFrame): DataFrame =
+    matchedPairs(names)
+      .select(col("doc_id"), xxhash64(col("a")).as("a"), xxhash64(col("b")).as("b"))
+
   /** Per-occurrence mention contexts: (doc_id, chunk_id, name_norm,
     * descs) — the per-chunk description text an ambiguous occurrence is
     * re-ranked against (the "mention's description" of
@@ -195,27 +231,38 @@ object Linker {
 
     def materialize(df: DataFrame): DataFrame = graft.core.Materialize.eager(df)
 
-    // the single mention scan (chunk-level aggregation) everything else
-    // derives from
-    val agg = timed("mention_agg")(materialize(mentionAgg(logs)))
-    // SLIM name table: the blocking join, union-find, and resolution read
-    // only (doc_id, name_norm, display). Description payloads — KBs per
-    // name, the dominant linker shuffle bytes — stay out of every
-    // corpus-wide shuffle from here on and are recomputed late for the
-    // ambiguous slice of documents below.
-    val names = timed("names")(materialize(uniqueNamesSlimFrom(agg)))
-    val pairs = matchedPairs(names)
+    // SLIM name table straight from the logs: the blocking join,
+    // union-find, and resolution read only (doc_id, name_norm, display).
+    // Description payloads — KBs per name on real corpora — enter NO
+    // corpus-wide shuffle at all: round 4 kept them out of the name
+    // table; round 5 removes the desc-bearing chunk-level aggregation
+    // itself from the main path (it shuffled every document's
+    // descriptions to produce sets that only the ambiguous ~2% of
+    // documents ever read — measured 58% of linker shuffle bytes at 96k
+    // docs). The chunk aggregation is re-run below over the
+    // ambiguous-document slice of the (upstream-materialized) logs.
+    val names = timed("names")(materialize(uniqueNamesSlim(logs)))
+    // Dictionary encoding: a 64-bit xxhash64 id per name. Pair emission and
+    // the union-find groupByKey shuffle carry 8-byte ids instead of name
+    // strings; the strings rejoin from the (materialized, slim) `names`
+    // side table at resolution — the last corpus-wide string payload in
+    // the linker after round 4's description diet. A same-doc id collision
+    // would merge two names; at ~2^-64 per same-doc name pair it is
+    // deterministic (same hash every run) and would surface loudly as a
+    // kg_mapping oracle hash mismatch, not silent corruption.
+    val idNames = names.withColumn("nid", xxhash64(col("name_norm")))
+    val pairs = matchedPairIds(names)
     // per-doc graphs are bounded by doc size → single-shuffle union-find;
     // the iterative self-join CC remains the unbounded-graph path. comps
     // has ONE consumer (the members join feeding `resolved`), so it stays
     // lazy — Catalyst fuses candidate scoring + union-find + resolution
     // into one job instead of paying an extra materialization barrier.
-    val comps = ConnectedComponents.runPerKey(
-      names.select(col("doc_id").as("key"), col("name_norm").as("v")),
+    val comps = ConnectedComponents.runPerKeyLong(
+      idNames.select(col("doc_id").as("key"), col("nid").as("v")),
       pairs.select(col("doc_id").as("key"), col("a"), col("b")))
 
     val members = comps
-      .join(names, comps("key") === names("doc_id") && comps("v") === names("name_norm"))
+      .join(idNames, comps("key") === idNames("doc_id") && comps("v") === idNames("nid"))
       .select(col("doc_id"), col("component"), col("name_norm"), col("display"))
 
     // resolveCluster with EMPTY descs: maximality and unique-candidate
@@ -228,9 +275,9 @@ object Linker {
     // linker shuffle payload. Byte-identical mapping by construction:
     // only ambiguous rows' (unused) canonical columns can differ.
     val resolved = timed("resolved")(materialize(members
-      .as[(String, String, String, String)]
+      .as[(String, Long, String, String)]
       .groupByKey { case (doc, comp, _, _) => (doc, comp) }
-      .flatMapGroups { (key: (String, String), rows: Iterator[(String, String, String, String)]) =>
+      .flatMapGroups { (key: (String, Long), rows: Iterator[(String, Long, String, String)]) =>
         val doc = key._1
         val ms = rows.map { case (_, _, norm, display) => (norm, display, "") }.toVector
         resolveCluster(ms).map(r => (doc, r.name_norm, r.canonical_norm, r.canonical, r.candidates))
@@ -246,7 +293,13 @@ object Linker {
     // with descs into gathered + docAmbig, full agg into overrides).
     val ambigDocs = resolved.filter(size(col("candidates")) > 1)
       .select(col("doc_id")).distinct()
-    val aggAmbig = materialize(agg.join(ambigDocs, Seq("doc_id"), "left_semi"))
+    // desc-bearing chunk-level aggregation over the ambiguous documents
+    // ONLY: a doc_id semi join narrows the logs before the mention
+    // explode, so the collect_set shuffle carries ~2% of the corpus's
+    // description text instead of all of it
+    val logsAmbig = logs.toDF().join(ambigDocs, Seq("doc_id"), "left_semi")
+      .as[graft.core.ExtractionLog]
+    val aggAmbig = materialize(mentionAgg(logsAmbig))
     // full name table (descs/ne_descs/prop_descs) for ambiguous docs —
     // containment gathering scans ALL names of the doc, so this derives
     // from the doc-scoped semi join, not from the ambiguous names alone
@@ -315,7 +368,6 @@ object Linker {
         col("name_norm"), col("cand_norm").as("canonical_norm"), col("cand_display").as("canonical"))
 
     LinkResult(docLevel.unionByName(overrides), () => {
-      agg.unpersist(blocking = false)
       names.unpersist(blocking = false)
       resolved.unpersist(blocking = false)
       ambiguous.unpersist(blocking = false)
