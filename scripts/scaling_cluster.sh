@@ -19,11 +19,23 @@
 # it does planning only — nothing corpus-sized crosses it.
 #
 # Usage: scripts/scaling_cluster.sh [nDocs] [rounds] [outMd]
+#
+# Collection-window safety (round-4 post-mortem: a campaign still running
+# at the driver's collection time OOM-killed the round's bench + verify):
+#   - GRAFT_CAMPAIGN_BUDGET_MINS (default 75): no NEW round starts after
+#     this much wall-clock; the campaign summarizes what it has and exits.
+#   - /tmp/graft-campaign-running exists while legs run (removed on exit);
+#     /tmp/campaign_done is (re)touched on every clean completion. Check
+#     either before launching anything memory-heavy on this host.
 set -e
 cd "$(dirname "$0")/.."
 NDOCS=${1:-96000}
 ROUNDS=${2:-5}
 OUT=${3:-BENCH/scaling_rows.md}
+BUDGET_MINS=${GRAFT_CAMPAIGN_BUDGET_MINS:-75}
+T_START=$(date +%s)
+rm -f /tmp/campaign_done
+touch /tmp/graft-campaign-running
 # Per-executor heap. With pipeline stages checkpointed to parquet the
 # executors hold only shuffle/exec memory, so heaps stay small — which also
 # keeps this sandbox's non-linear page-fault cost (large / concurrent memory
@@ -47,14 +59,25 @@ ADD_OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/jav
 sbt -batch compile > /dev/null 2>&1
 
 PIDS=()
+# Stage checkpoints: tmpfs by default for small corpora (the per-leg
+# analog of the distributed store a real build checkpoints to), but at
+# >= 384k docs the checkpoints themselves are multi-GiB — parking them on
+# memory-backed /dev/shm under 4x10g pre-touched executors is the exact
+# recipe that OOM-killed round 4's collection window. Large corpora
+# default to disk; GRAFT_SCALING_CKPT_BASE overrides either way.
+if [ -n "${GRAFT_SCALING_CKPT_BASE:-}" ]; then CKPT_BASE=$GRAFT_SCALING_CKPT_BASE
+elif [ "$NDOCS" -ge 384000 ]; then CKPT_BASE=/tmp
+else CKPT_BASE=/dev/shm; fi
+
 cleanup() {
   for p in "${PIDS[@]}"; do kill "$p" 2>/dev/null || true; done
   sleep 1
   pkill -f org.apache.spark.deploy 2>/dev/null || true
-  rm -rf /dev/shm/graft-w* /dev/shm/graft-ckpt /tmp/graft-worker-* 2>/dev/null || true
+  rm -rf /dev/shm/graft-w* "$CKPT_BASE/graft-ckpt" /tmp/graft-worker-* 2>/dev/null || true
   PIDS=()
 }
-trap cleanup EXIT
+finish() { cleanup; rm -f /tmp/graft-campaign-running; }
+trap finish EXIT
 
 leg() {
   local k=$1   # number of 8-core workers
@@ -62,8 +85,8 @@ leg() {
   # pipeline stages go through the parquet work dir (tmpfs = the per-leg
   # analog of the distributed storage a real build checkpoints to); cached
   # block cuts would pin partitions to the executor that computed them
-  rm -rf /dev/shm/graft-ckpt; mkdir -p /dev/shm/graft-ckpt
-  export GRAFT_SCALING_CKPT=/dev/shm/graft-ckpt
+  rm -rf "$CKPT_BASE/graft-ckpt"; mkdir -p "$CKPT_BASE/graft-ckpt"
+  export GRAFT_SCALING_CKPT=$CKPT_BASE/graft-ckpt
   echo "[scaling-driver] leg: $k x 8-core executors"
   java $ADD_OPENS -Xmx1g -cp "/opt/spark/jars/*" \
     org.apache.spark.deploy.master.Master \
@@ -108,7 +131,12 @@ leg() {
 }
 
 for r in $(seq 1 "$ROUNDS"); do
-  echo "[scaling-driver] round $r"
+  ELAPSED_MINS=$(( ($(date +%s) - T_START) / 60 ))
+  if [ "$ELAPSED_MINS" -ge "$BUDGET_MINS" ]; then
+    echo "[scaling-driver] budget ${BUDGET_MINS}m exhausted after $((r-1)) rounds — summarizing early"
+    break
+  fi
+  echo "[scaling-driver] round $r (elapsed ${ELAPSED_MINS}m / budget ${BUDGET_MINS}m)"
   leg 1
   leg 4
 done
@@ -117,3 +145,4 @@ java $ADD_OPENS -cp "$CLASSES:/opt/spark/jars/*" \
   "standalone cluster, 1x8 vs 4x8-core executors (${EXEC_HEAP_GB}g each, pre-touch=${GRAFT_EXEC_PRETOUCH:-0}, waves=${GRAFT_TASKS_PER_CORE:-2}), pinned" \
   2>&1 | grep -E "\[scaling\]|^\|"
 echo "[scaling-driver] raw legs in $CSV"
+touch /tmp/campaign_done

@@ -181,8 +181,10 @@ object ScalingBench {
     * never mixes rows from different engine versions into one distribution
     * (rows from older generations stay in the md for the record). Bump when
     * the engine or methodology changes materially. */
-  val Generation = "g5" // g5: linker desc-payload byte diet (slim names through
-  // blocking+CC+resolution; ambiguous-doc-only late desc recomputation)
+  val Generation = "g6" // g6: desc-bearing chunk aggregation removed from the
+  // linker main path (slim names straight from the mention stream;
+  // ambiguous-doc-only late chunk agg; id-encoded union-find) —
+  // linker shuffle -39.5% at 96k docs. g5: linker desc-payload byte diet.
 
   /** Summarize the csv produced by repeated [[runLevel]] calls: per-level
     * best-of (contention only adds time) plus the per-round PAIRED ratios
