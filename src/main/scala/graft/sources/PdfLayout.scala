@@ -41,21 +41,74 @@ object PdfLayout {
                            page_width: Int, page_height: Int, text: String,
                            segment_type: String)
 
-  // ----- token-type classification (STUB for token_type_lightgbm.model) --
+  // ----- token-type classification (LightGBM seam + geometric stub) -----
 
   private val Bullet = "^(?:[\\u2022\\u25cf*\\-]|\\(?\\d{1,2}[.)])\\s*".r
   private val Formulaish = "[=^∑∫±≤≥√]".r
 
+  /** The reference's TokenType enum order — `TokenType.from_index` maps a
+    * model's class index through exactly this list
+    * (`pdf_document_layout_analysis/pdf_token_type_labels/token_type.py`),
+    * so a deployer-trained token-type model uses the same convention. */
+  val TokenTypeLabels: Vector[String] = Vector(
+    "FORMULA", "FOOTNOTE", "LIST_ITEM", "TABLE", "PICTURE", "TITLE",
+    "TEXT", "PAGE_HEADER", "SECTION_HEADER", "CAPTION", "PAGE_FOOTER")
+
+  /** Env-pointed LightGBM models for the two learned pieces of the
+    * reference's PDF parser (`fast_pdf_parser/parser.py:86-123`): token
+    * typing and paragraph (segment-boundary) extraction. Unset env vars →
+    * the deterministic geometric stand-ins below; set → real inference via
+    * [[LightGbmModel]] (text-format models; ship the files to a cluster
+    * with `spark-submit --files`, mirroring the `GRAFT_BPE_VOCAB` seam).
+    *
+    * Feature-vector contracts (what a deployer trains against):
+    *  - token-type, multiclass over [[TokenTypeLabels]] order:
+    *    `[font_size, font_size/pageMedianFont, bold, left, top, width,
+    *      height, textLen, startsWithBullet, hasFormulaChar]`
+    *  - paragraph, single-output merge score (> 0 merges the line into the
+    *    current segment, <= 0 starts a new one):
+    *    `[gap, prevLineHeight, gap/prevLineHeight, sameLineType,
+    *      page_number]`
+    */
+  case class PdfModels(tokenType: Option[LightGbmModel],
+                       paragraph: Option[LightGbmModel])
+
+  object PdfModels {
+    val TokenModelEnv = "GRAFT_PDF_TOKEN_MODEL"
+    val ParaModelEnv = "GRAFT_PDF_PARA_MODEL"
+    /** Resolved lazily PER JVM — [[segments]] references it inside the
+      * flatMapGroups lambda, so executors load from their local copy. */
+    lazy val fromEnv: PdfModels =
+      PdfModels(LightGbmModel.fromEnv(TokenModelEnv), LightGbmModel.fromEnv(ParaModelEnv))
+    val none: PdfModels = PdfModels(None, None)
+  }
+
+  private def tokenFeatures(t: LayoutToken, pageMedianFont: Double): Array[Double] = Array(
+    t.font_size,
+    if (pageMedianFont > 0) t.font_size / pageMedianFont else 1.0,
+    if (t.bold) 1.0 else 0.0,
+    t.left, t.top, t.width, t.height,
+    t.text.length.toDouble,
+    if (Bullet.findPrefixOf(t.text).isDefined) 1.0 else 0.0,
+    if (Formulaish.findFirstIn(t.text).isDefined) 1.0 else 0.0)
+
   /** Deterministic stand-in for the LightGBM token-type model: geometry +
     * typography heuristics over the same features the real model reads
-    * (font size vs page median, bold flag, charset). Swap this one
-    * function for a real model scorer in production; everything downstream
-    * is agnostic to how the type was produced. */
-  def classifyToken(t: LayoutToken, pageMedianFont: Double): String =
-    if (t.bold && t.font_size >= 1.15 * pageMedianFont) "SECTION_HEADER"
-    else if (Bullet.findPrefixOf(t.text).isDefined) "LIST_ITEM"
-    else if (Formulaish.findFirstIn(t.text).isDefined) "FORMULA"
-    else "TEXT"
+    * (font size vs page median, bold flag, charset). The model seam
+    * ([[PdfModels]]) swaps in a real scorer; everything downstream is
+    * agnostic to how the type was produced. */
+  def classifyToken(t: LayoutToken, pageMedianFont: Double,
+                    model: Option[LightGbmModel] = None): String =
+    model match {
+      case Some(m) =>
+        TokenTypeLabels(math.min(m.predictClass(tokenFeatures(t, pageMedianFont)),
+          TokenTypeLabels.length - 1))
+      case None =>
+        if (t.bold && t.font_size >= 1.15 * pageMedianFont) "SECTION_HEADER"
+        else if (Bullet.findPrefixOf(t.text).isDefined) "LIST_ITEM"
+        else if (Formulaish.findFirstIn(t.text).isDefined) "FORMULA"
+        else "TEXT"
+    }
 
   // ----- segment assembly (STUB-geometry analog of the paragraph model) --
 
@@ -70,7 +123,8 @@ object PdfLayout {
     * is a bullet, else the majority token type (ties → earliest). These
     * thresholds are the deterministic stand-in for the paragraph model's
     * learned boundaries. */
-  def assembleDoc(docId: String, tokens: Iterator[LayoutToken]): Iterator[ParsedSegment] = {
+  def assembleDoc(docId: String, tokens: Iterator[LayoutToken],
+                  models: PdfModels = PdfModels.none): Iterator[ParsedSegment] = {
     val byPage = tokens.toArray.groupBy(_.page_number).toArray.sortBy(_._1)
     val out = Vector.newBuilder[ParsedSegment]
     for ((page, toks) <- byPage) {
@@ -95,9 +149,9 @@ object PdfLayout {
       if (!curEmpty) lines += cur.result().toArray.sortBy(_.left)
 
       def lineType(l: Array[LayoutToken]): String =
-        if (Bullet.findPrefixOf(l.head.text).isDefined) "LIST_ITEM"
+        if (models.tokenType.isEmpty && Bullet.findPrefixOf(l.head.text).isDefined) "LIST_ITEM"
         else {
-          val types = l.map(classifyToken(_, medianFont))
+          val types = l.map(classifyToken(_, medianFont, models.tokenType))
           types.groupBy(identity).toArray
             .map { case (ty, g) => (ty, g.length, types.indexOf(ty)) }
             .minBy { case (_, n, first) => (-n, first) }._1
@@ -119,8 +173,18 @@ object PdfLayout {
       }
       for (l <- lines.result()) {
         val ty = lineType(l)
-        val break = seg.nonEmpty &&
-          (ty != segType || l.head.top - bottom(seg.last) > 0.8 * height(seg.last))
+        // boundary decision: the paragraph model scores merge-vs-break
+        // when present (feature contract in [[PdfModels]]); otherwise the
+        // geometric stand-in (same type + gap under 0.8x previous height)
+        val break = seg.nonEmpty && (models.paragraph match {
+          case Some(m) =>
+            val gap = l.head.top - bottom(seg.last)
+            val ph = height(seg.last)
+            !m.predictBinary(Array(gap, ph, if (ph > 0) gap / ph else 0.0,
+              if (ty == segType) 1.0 else 0.0, page.toDouble))
+          case None =>
+            ty != segType || l.head.top - bottom(seg.last) > 0.8 * height(seg.last)
+        })
         if (break) flush()
         if (seg.isEmpty) segType = ty
         seg = seg :+ l
@@ -131,11 +195,13 @@ object PdfLayout {
   }
 
   /** Spark stage: flat token table → typed segments, one doc-keyed
-    * shuffle. */
+    * shuffle. [[PdfModels.fromEnv]] resolves INSIDE the lambda, i.e. on
+    * the executor from its local model files, once per JVM. */
   def segments(tokens: Dataset[LayoutToken]): Dataset[ParsedSegment] = {
     val spark = tokens.sparkSession
     import spark.implicits._
-    tokens.groupByKey(_.doc_id).flatMapGroups((id, it) => assembleDoc(id, it))
+    tokens.groupByKey(_.doc_id)
+      .flatMapGroups((id, it) => assembleDoc(id, it, PdfModels.fromEnv))
   }
 
   /** Segment type → canonical span kind, mirroring the reference's role
