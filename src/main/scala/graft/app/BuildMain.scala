@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 
 /** spark-submit entry for the full KG build.
   *
-  * Usage: BuildMain <workDir> [nDocs] [master] [seed]
+  * Usage: BuildMain [--bpe-vocab=merges.txt] <workDir> [nDocs] [master] [seed]
   *
   * Generates the seeded interleaved corpus (or, in a real deployment, read
   * the input Iceberg table instead), runs the resumable build into
@@ -16,18 +16,33 @@ import org.apache.spark.sql.SparkSession
   * and the triple-parity score vs the corpus oracle.
   * Re-running with the same workDir resumes: completed stages are read
   * back, not recomputed.
+  *
+  * `--bpe-vocab=PATH` switches the chunker to exact greedy-BPE token
+  * counts from a GPT-2-shaped merges file (the tiktoken-cl100k analog of
+  * reference reader.py:226-238): sets the in-JVM property for the driver
+  * and `spark.executorEnv.GRAFT_BPE_VOCAB` for executors — on a real
+  * cluster ship the file with `spark-submit --files merges.txt` and pass
+  * `--bpe-vocab=merges.txt` (the executor-local name).
   */
 object BuildMain {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val (flags, args) = rawArgs.partition(_.startsWith("--"))
+    val bpeVocab = flags.collectFirst { case f if f.startsWith("--bpe-vocab=") =>
+      f.stripPrefix("--bpe-vocab=") }
+    bpeVocab.foreach(System.setProperty(graft.functions.Tokens.VocabProp, _))
+
     val workDir = args.headOption.getOrElse("/tmp/graft-build")
     val nDocs = if (args.length > 1) args(1).toLong else 500L
     val master = if (args.length > 2) args(2) else s"local[${Runtime.getRuntime.availableProcessors()}]"
     val seed = if (args.length > 3) args(3).toLong else Corpus.DefaultSeed
 
-    val spark = graft.core.Sessions.builder(master, "graft-kg-build",
+    val builder = graft.core.Sessions.builder(master, "graft-kg-build",
         math.max(Runtime.getRuntime.availableProcessors(), 8))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .getOrCreate()
+    bpeVocab.foreach(builder.config("spark.executorEnv." +
+      graft.functions.Tokens.VocabEnv, _))
+    val spark = builder.getOrCreate()
+    bpeVocab.foreach(p => println(s"[graft] exact-BPE token counts from $p"))
     spark.sparkContext.setLogLevel("WARN")
 
     val io = new ParquetTableIO(workDir)

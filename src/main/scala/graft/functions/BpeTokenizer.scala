@@ -125,10 +125,32 @@ object BpeTokenizer {
   * env var — no code change, no plan change. */
 object Tokens {
   val VocabEnv = "GRAFT_BPE_VOCAB"
+  /** JVM-property twin of [[VocabEnv]] (`-Dgraft.bpe.vocab=...`): lets
+    * BuildMain's `--bpe-vocab` flag and in-JVM tests configure the vocab
+    * without an exec-time env var. On a multi-JVM cluster, set
+    * `spark.executorEnv.GRAFT_BPE_VOCAB` (BuildMain's flag does) and ship
+    * the file with `--files`. */
+  val VocabProp = "graft.bpe.vocab"
 
-  /** Loaded once per JVM (driver and each executor read the same env). */
-  @transient lazy val bpe: Option[BpeTokenizer] =
-    sys.env.get(VocabEnv).map(BpeTokenizer.load)
+  private def vocabPath: Option[String] =
+    sys.props.get(VocabProp).orElse(sys.env.get(VocabEnv))
+
+  // cache keyed by the resolved path so a JVM reuses one parsed tokenizer
+  // but a test (or a re-submitted driver) that changes the property gets
+  // the right vocabulary, not a stale lazy val
+  private val cached =
+    new java.util.concurrent.atomic.AtomicReference[(String, Option[BpeTokenizer])]()
+
+  def bpe: Option[BpeTokenizer] = {
+    val p = vocabPath.orNull
+    val c = cached.get()
+    if (c != null && c._1 == p) c._2
+    else {
+      val t = Option(p).map(BpeTokenizer.load)
+      cached.set((p, t))
+      t
+    }
+  }
 
   def count(text: String): Int = bpe match {
     case Some(b) => b.countTokens(text)

@@ -126,4 +126,35 @@ class HttpExtractorSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(e.getMessage.contains("404"))
     assert(requests.get() === before, "a 4xx must not be retried against the real handler")
   }
+
+  /** OPT-IN real-endpoint smoke (canceled unless GRAFT_EXTRACTOR_URL is
+    * set): the deployer's one-command validation that a live endpoint
+    * speaks the prompt contract —
+    *
+    *   GRAFT_EXTRACTOR_URL=https://host/extract sbt -batch \
+    *     "testOnly graft.HttpExtractorSpec -- -t \"real endpoint\""
+    *
+    * or run the full build against it:
+    *   GRAFT_EXTRACTOR_URL=... sbt "runMain graft.app.BuildMain /tmp/g 300"
+    * (parity is only meaningful against the deterministic extractor; with
+    * a live model, judge the emitted triples directly). */
+  test("real endpoint answers the extraction contract end-to-end", RealEndpoint) {
+    assume(sys.env.contains(HttpExtractor.UrlEnv),
+      s"set ${HttpExtractor.UrlEnv} to run the live smoke")
+    val live = HttpExtractor.fromEnv().get
+    val (nodes, edges) = live.extractChunk(
+      "Ada Lovelace wrote the first program. Ada Lovelace worked with Charles Babbage.")
+    assert(nodes.forall(n => n.name.nonEmpty), "every entity needs a name")
+    assert(edges.forall(e => e.source.nonEmpty && e.target.nonEmpty))
+    val kws = live.keywords("Graph engines extract entities from documents.")
+    assert(kws.nonEmpty, "keywords task returned nothing")
+    val props = live.extractProperties(
+      "The engine is distributed and resumable.", Seq("engine"))
+    assert(props.forall(_.entity_name.nonEmpty))
+  }
 }
+
+/** Tag for the opt-in live-endpoint smoke: select with `-n
+  * graft.RealEndpointTag` or by test name; it self-cancels without the
+  * env var either way. */
+object RealEndpoint extends org.scalatest.Tag("graft.RealEndpointTag")

@@ -154,7 +154,9 @@ class OpsSpec extends SparkSpec {
     assert(ivf.groupBy("qid").count().agg(max("count")).head().getLong(0) <= 5L)
     val recall = (bf intersect pairs).size.toDouble / bf.size
     info(f"ivf recall@5 (nProbe=8/16): $recall%.3f")
-    assert(recall >= 0.75) // farthest-point seeding + probing 8/16 lists
+    // measured operating point of the default (IvfCurve: 0.84 at 8/16 on
+    // the sf0.01 feature-hash distribution; curve pinned in the scaladoc)
+    assert(recall >= 0.8)
   }
 
   // The q_minhash_lsh / q_simhash DuckDB oracles assert output == the FULL
