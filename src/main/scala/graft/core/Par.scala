@@ -87,9 +87,56 @@ object Materialize {
   def stageCutHandle(df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame,
          org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val (d, r, _) = stageCutHandleN(df)
+    (d, r)
+  }
+
+  /** [[stageCutHandle]] plus the ROW COUNT of the materialized stage —
+    * the materializing action is a count anyway, so iterative callers
+    * whose convergence test needs the count (the big-star CC fixpoint)
+    * get it for free instead of paying a second count job per iteration. */
+  def stageCutHandleN(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+         Long) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(CacheLevel)
-    rdd.count()
+    val n = rdd.count()
+    (org.apache.spark.sql.GraftShims.fromInternalRdd(df.sparkSession, rdd, df.schema), rdd, n)
+  }
+
+  /** [[stageCutHandle]] WITHOUT the materializing count: persist + wrap
+    * only. The FIRST consumer populates the cache (the block manager's
+    * per-partition locking dedups concurrent computation — two forked
+    * consumers hitting the same uncomputed cached partition compute it
+    * once and share it), so the upstream plan still runs exactly once,
+    * but the producer thread never blocks — its consumers can be forked
+    * immediately instead of waiting behind an eager count barrier. */
+  def stageCutLazyHandle(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(CacheLevel)
     (org.apache.spark.sql.GraftShims.fromInternalRdd(df.sparkSession, rdd, df.schema), rdd)
+  }
+
+  /** [[stageCutHandle]] that additionally counts rows whose BOOLEAN column
+    * at `boolOrdinal` is true, folded into the SAME materializing action
+    * via an accumulator (foreach over the persisted InternalRow RDD — a
+    * plain RDD action, no external-Row conversion). One job instead of
+    * two per iteration for loops whose convergence probe is a
+    * changed-row count (the min-label CC). Accumulator updates inside an
+    * action are applied exactly once per task, so the count is exact. */
+  def stageCutHandleFlagCount(df: org.apache.spark.sql.DataFrame, boolOrdinal: Int)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+         Long) = {
+    val spark = df.sparkSession
+    val acc = spark.sparkContext.longAccumulator("stage-cut-flag-count")
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(CacheLevel)
+    rdd.foreach(r => if (!r.isNullAt(boolOrdinal) && r.getBoolean(boolOrdinal)) acc.add(1L))
+    (org.apache.spark.sql.GraftShims.fromInternalRdd(df.sparkSession, rdd, df.schema),
+      rdd, acc.value)
   }
 }

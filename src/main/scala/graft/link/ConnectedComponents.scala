@@ -75,8 +75,11 @@ object ConnectedComponents {
           labels("decl"),
           (col("nbr_label").isNotNull && col("nbr_label") < col("label")).as("changed"))
       val t0 = System.nanoTime()
-      val (cp, cpRdd) = graft.core.Materialize.stageCutHandle(updated)
-      val changed = cp.filter(col("changed")).limit(1).count()
+      // changed-row probe folded into the materializing action itself
+      // (accumulator over the persisted rows, ordinal 4 = `changed`) —
+      // one job per iteration where the round-5 loop paid two
+      val (cp, cpRdd, changed) =
+        graft.core.Materialize.stageCutHandleFlagCount(updated, 4)
       labelsRdd.unpersist(blocking = false) // superseded; cp holds the data
       labelsRdd = cpRdd
       labels = cp.select(col("key"), col("v"), col("new_label").as("label"), col("decl"))
@@ -123,8 +126,8 @@ object ConnectedComponents {
     val init = edges
       .select(col("key"), greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    var (p, pRdd) = graft.core.Materialize.stageCutHandle(init)
-    var prevCount = p.count()
+    // stage-cut counts ride the materializing action (no second count job)
+    var (p, pRdd, prevCount) = graft.core.Materialize.stageCutHandleN(init)
     var iter = 0
     var converged = prevCount == 0L
     while (!converged && iter < maxIter) {
@@ -148,9 +151,9 @@ object ConnectedComponents {
         .filter(col("x") =!= col("m"))
         .select(col("key"), col("x").as("u"), col("m").as("v"))
         .distinct()
-      val (cp, cpRdd) = graft.core.Materialize.stageCutHandle(small)
-      val curCount = cp.count()
+      val (cp, cpRdd, curCount) = graft.core.Materialize.stageCutHandleN(small)
       // exact set fixpoint: both sides cached, equal counts + empty diff
+      // (the except only runs once counts agree — near convergence)
       converged = curCount == prevCount && cp.except(p).limit(1).count() == 0L
       pRdd.unpersist(blocking = false)
       p = cp; pRdd = cpRdd; prevCount = curCount

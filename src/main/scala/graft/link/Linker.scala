@@ -242,45 +242,76 @@ object Linker {
     // docs). The chunk aggregation is re-run below over the
     // ambiguous-document slice of the (upstream-materialized) logs.
     val names = timed("names")(materialize(uniqueNamesSlim(logs)))
-    // Dictionary encoding: a 64-bit xxhash64 id per name. Pair emission and
-    // the union-find groupByKey shuffle carry 8-byte ids instead of name
-    // strings; the strings rejoin from the (materialized, slim) `names`
-    // side table at resolution — the last corpus-wide string payload in
-    // the linker after round 4's description diet. A same-doc id collision
-    // would merge two names; at ~2^-64 per same-doc name pair it is
-    // deterministic (same hash every run) and would surface loudly as a
+    // Dictionary encoding: a 64-bit xxhash64 id per name. Pair rows carry
+    // 8-byte ids instead of name strings (matchedPairIds). A same-doc id
+    // collision would merge two names; at ~2^-64 per same-doc name pair it
+    // is deterministic (same hash every run) and would surface loudly as a
     // kg_mapping oracle hash mismatch, not silent corruption.
-    val idNames = names.withColumn("nid", xxhash64(col("name_norm")))
     val pairs = matchedPairIds(names)
-    // per-doc graphs are bounded by doc size → single-shuffle union-find;
-    // the iterative self-join CC remains the unbounded-graph path. comps
-    // has ONE consumer (the members join feeding `resolved`), so it stays
-    // lazy — Catalyst fuses candidate scoring + union-find + resolution
-    // into one job instead of paying an extra materialization barrier.
-    val comps = ConnectedComponents.runPerKeyLong(
-      idNames.select(col("doc_id").as("key"), col("nid").as("v")),
-      pairs.select(col("doc_id").as("key"), col("a"), col("b")))
 
-    val members = comps
-      .join(idNames, comps("key") === idNames("doc_id") && comps("v") === idNames("nid"))
-      .select(col("doc_id"), col("component"), col("name_norm"), col("display"))
-
-    // resolveCluster with EMPTY descs: maximality and unique-candidate
-    // assignment are pure token-set structure; the desc-reranked doc-level
-    // pick for ambiguous members is computed — and then DISCARDED — by
-    // the pipeline, which replaces it with the containment-gathered
-    // rerank (docAmbig below, the reference's node_matcher semantics).
-    // Shipping every member's doc-wide descriptions through this
-    // groupByKey to compute a discarded value was the largest single
-    // linker shuffle payload. Byte-identical mapping by construction:
-    // only ambiguous rows' (unused) canonical columns can differ.
-    val resolved = timed("resolved")(materialize(members
-      .as[(String, Long, String, String)]
-      .groupByKey { case (doc, comp, _, _) => (doc, comp) }
-      .flatMapGroups { (key: (String, Long), rows: Iterator[(String, Long, String, String)]) =>
-        val doc = key._1
-        val ms = rows.map { case (_, _, norm, display) => (norm, display, "") }.toVector
-        resolveCluster(ms).map(r => (doc, r.name_norm, r.canonical_norm, r.canonical, r.candidates))
+    // FUSED union-find + cluster resolution: one groupByKey(doc_id) over
+    // the union of name rows (id + name payload) and match-pair rows
+    // (ids only). Per-doc graphs are bounded by doc size, so the whole
+    // component formation AND resolveCluster run inside a single typed
+    // fold — the same per-key 8-byte union-find the round-5 plan ran in
+    // ConnectedComponents.runPerKeyLong, now inlined so the round-5
+    // three-exchange chain (union-find groupByKey → comps⋈names rejoin →
+    // second groupByKey((doc, component)) into resolveCluster) collapses
+    // to ONE doc_id-keyed exchange. Shuffle bytes drop too: the name
+    // strings cross once (they previously rode both the rejoin and the
+    // (doc, component) shuffle). Byte-identical resolution by
+    // construction: resolveCluster is set-based (maximality, sorted
+    // candidate lists, total-order tie-breaks), so per-group row order —
+    // the only thing the fusion changes — cannot affect any output row.
+    //
+    // resolveCluster runs with EMPTY descs: maximality and
+    // unique-candidate assignment are pure token-set structure; ambiguous
+    // members' doc-level pick is recomputed below against the
+    // containment-gathered contexts (the reference's node_matcher
+    // semantics), so descriptions stay out of this corpus-wide shuffle.
+    val nameRows = names.select(col("doc_id"),
+      xxhash64(col("name_norm")).as("a"), lit(0L).as("b"),
+      col("name_norm"), col("display"))
+    val pairRows = pairs.select(col("doc_id"), col("a"), col("b"),
+      lit(null).cast("string").as("name_norm"), lit(null).cast("string").as("display"))
+    val resolved = timed("resolved")(materialize(nameRows.unionByName(pairRows)
+      .as[(String, Long, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc: String, rows: Iterator[(String, Long, Long, String, String)]) =>
+        // union-find over 8-byte ids with path compression (union-by-min
+        // is NOT needed here: labels are only grouping keys, and
+        // resolveCluster output is independent of which member roots)
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+        def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        rows.foreach { case (_, a, b, norm, display) =>
+          if (norm != null) { add(a); members += ((a, norm, display)) }
+          else {
+            add(a); add(b)
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+        }
+        // group declared members by component root; every name row is
+        // retained as its own member (two same-doc names colliding on
+        // xxhash64 would both appear, exactly like the pre-fusion rejoin)
+        val byComp = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[(String, String, String)]]
+        members.foreach { case (nid, norm, display) =>
+          byComp.getOrElseUpdate(find(nid),
+            scala.collection.mutable.ArrayBuffer.empty) += ((norm, display, ""))
+        }
+        byComp.valuesIterator.flatMap { ms =>
+          resolveCluster(ms.toVector)
+            .map(r => (doc, r.name_norm, r.canonical_norm, r.canonical, r.candidates))
+        }
       }
       .toDF("doc_id", "name_norm", "canonical_norm", "canonical", "candidates")))
 

@@ -185,7 +185,21 @@ object GraphTables {
     val withBoth = realEdges
       .join(srcNodes, col("doc_id") === col("sn_doc") && col("src_canon_norm") === col("sn_name"), "left")
       .join(dstNodes, col("doc_id") === col("dn_doc") && col("dst_canon_norm") === col("dn_name"), "left")
-    val withIds = withBoth.filter(col("frm_id").isNotNull && col("to_id").isNotNull)
+    // stage-cut ONCE, slim: the `triples` and `edges` projections each
+    // used to re-run the two endpoint joins from the resolved cache (two
+    // concurrent consumers of a lazy plan = the whole join subtree twice);
+    // this cuts the joins to a single run and both consumers read compact
+    // rows (round-5 plan: 2x [resolved scan + 2 node-key joins]; now 1x +
+    // two cheap cache scans). LAZY persist — no count barrier here, so the
+    // pipeline forks the triples/edges0 consumers immediately and the
+    // first one to arrive populates the cache (block-level locking dedups
+    // the concurrent computation). Column-pruned to what the two
+    // consumers and metaStruct read.
+    val (withIds, withIdsRdd) = graft.core.Materialize.stageCutLazyHandle(withBoth
+      .filter(col("frm_id").isNotNull && col("to_id").isNotNull)
+      .select(col("doc_id"), col("chunk_id"), col("media_ref"), col("visual_kind"),
+        col("relationship"), col("src_canon"), col("dst_canon"),
+        col("frm_id"), col("to_id")))
     val droppedEdges = mappingMissDropped.unionByName(
       withBoth.filter(col("frm_id").isNull || col("to_id").isNull)
         .select(col("doc_id"), col("chunk_id"), col("source"), col("target"), col("relationship")))
@@ -242,6 +256,7 @@ object GraphTables {
       properties.as[PropertyRow],
       triples,
       droppedEdges,
-      () => { nodes.unpersist(blocking = false); resolved.unpersist(blocking = false) })
+      () => { nodes.unpersist(blocking = false); resolved.unpersist(blocking = false)
+        withIdsRdd.unpersist(blocking = false) })
   }
 }

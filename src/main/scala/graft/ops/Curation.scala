@@ -51,18 +51,22 @@ object Curation {
     val base = docs.select(col(idCol).cast("long").as("id"),
       coalesce(col(textCol), lit("")).as("text"))
 
-    // gates: narrow projections joined back by semi join on id
+    // gates: row-wise FILTERS fused into the cleaning scan (guide §2.4 —
+    // remove shuffles outright). The language and quality gates are pure
+    // functions of the cleaned row, so the previous shape (compute an
+    // (id, flag) projection, semi-join it back on id) paid one id-keyed
+    // shuffle JOIN per gate for a predicate the scan itself can evaluate.
+    // Same row sets by construction: langId/quality are row-wise over
+    // text_clean, and the filter predicates are the operators' own
+    // column expressions (langPredCol; length + rounded nonAlphaRatio,
+    // exactly the n_chars / non_alpha_ratio columns quality() reports).
     val cleaned = TextAnalysis.cleanText(base, "id", "text")
       .select(col("id"), col("text_clean"))
-    val langKept = cleaned.join(
-      TextAnalysis.langId(cleaned, "id", "text_clean")
-        .filter(col("lang_pred") === lang).select("id"),
-      Seq("id"), "left_semi")
-    val qKept = langKept.join(
-      TextAnalysis.quality(langKept, "id", "text_clean")
-        .filter(col("n_chars") >= 100 && col("non_alpha_ratio") <= 0.4)
-        .select("id"),
-      Seq("id"), "left_semi")
+    val langKept = cleaned.filter(
+      TextAnalysis.langPredCol(col("text_clean")) === lang)
+    val qKept = langKept.filter(
+      length(col("text_clean")) >= 100 &&
+        round(graft.functions.TextFns.nonAlphaRatioCol(col("text_clean")), 4) <= 0.4)
     // fan-in 1: the quality-surviving corpus feeds exact dedup AND the
     // survivor semi join
     val (qc, qcRdd) = graft.core.Materialize.stageCutHandle(qKept)
@@ -86,10 +90,12 @@ object Curation {
       clusters.filter(col("keep")).select(col("id").cast("long").as("id")),
       Seq("id"), "left_semi")
 
-    val trainDocs = nearKept.join(
-      TextAnalysis.hashSplit(nearKept, "id")
-        .filter(col("split") === "train").select("id"),
-      Seq("id"), "left_semi")
+    // train-split gate: hashSplit is a pure function of id (salted md5
+    // prefix), so filter in place — the same fusion as the gates above
+    // (split == "train" ⇔ bucket_hash < hexAt(trainFrac); thresholds and
+    // salt mirror hashSplit's defaults, which the funnel's oracle replays)
+    val trainDocs = nearKept.filter(
+      TextAnalysis.saltedHashCol(col("id"), "split-v1") < lit(TextAnalysis.hexAt(0.8)))
 
     val toks = trainDocs.select(col("id"),
       graft.functions.TextFns.estimateTokensCol(col("text_clean"))

@@ -502,14 +502,14 @@ object Dedup {
       explode(Similarity.cellsUdf(tables)(col("codes"))).as("cell"))
     val r = coded.select(col("id").as("idb"),
       explode(Similarity.probesUdf(tables, bits)(col("codes"))).as("cell"))
-    val cos = udf((a: Seq[Float], b: Seq[Float]) => TextFns.cosine(a.toArray, b.toArray))
     l.join(r, l("cell") === r("cell") && col("ida") < col("idb"))
       .select("ida", "idb").distinct()
       .join(vecs.select(col("id").as("ida"), col("v").as("va")), Seq("ida"))
       .join(vecs.select(col("id").as("idb"), col("v").as("vb")), Seq("idb"))
       // threshold on the UNROUNDED cosine (the oracle filters unrounded);
-      // rounding only the reported column
-      .withColumn("c", cos(col("va"), col("vb")))
+      // rounding only the reported column. Native codegen CosineSim, not
+      // a boxed Seq[Float] UDF — same expression the ANN scorers use.
+      .withColumn("c", Similarity.cosCol(col("va"), col("vb")))
       .filter(col("c") >= threshold)
       .select(col("ida"), col("idb"), round(col("c"), 4).as("cosine"))
   }
@@ -647,15 +647,78 @@ object Dedup {
     * sized so clusters hold ~1e3–1e4 vectors (the paper runs 50k clusters
     * over 1e9 embeddings) and the only corpus-wide work is one broadcast-
     * centroid assignment pass plus one shuffle BY CLUSTER of slim
-    * (cluster, id, vec) rows; a pathologically hot cluster is handled the
-    * same way hot LSH buckets are (split by a secondary code), not by a
-    * global all-pairs fallback.
-    * Output: (ida, idb, cluster, cosine) with ida < idb. */
+    * (cluster, id, vec) rows. A pathologically hot cluster (near-identical
+    * boilerplate embeddings absorbing most of the corpus) is guarded by
+    * the same candidate-volume valve the simhash bridge carries: Σ
+    * c·(c−1)/2 over the cluster counts is probed BEFORE the self-join,
+    * and past `maxCandidates` candidate generation LOUDLY switches to a
+    * random-hyperplane LSH sub-split WITHIN clusters (same exact-cosine
+    * verification, candidates restricted to same-cluster pairs).
+    * Output: (ida, idb, cluster, cosine) with ida < idb.
+    *
+    * NOTE: the valve probe makes DataFrame construction EAGER here (the
+    * assignment stage-cuts so probe + pair join share one pass). */
   def semanticClusterPairs(df: DataFrame, idCol: String, vecCol: String,
                            centroids: Array[Array[Float]],
-                           threshold: Double = 0.95): DataFrame =
-    pairsFromAssigned(Similarity.assignClusters(
-      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids), threshold)
+                           threshold: Double = 0.95,
+                           maxCandidates: Long = 100000000L): DataFrame = {
+    val (assigned, aRdd) = graft.core.Materialize.stageCutHandle(
+      Similarity.assignClusters(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids))
+    val out = guardedPairsFromAssigned(assigned, threshold, maxCandidates)
+    aRdd.unpersist(blocking = false) // lineage kept; consumers recompute
+    out
+  }
+
+  /** Valve-trip counter — spec observability only (OpsSpec asserts the
+    * valve fires on a planted hot-cluster corpus and stays silent on the
+    * oracle corpora). */
+  @volatile private[graft] var semanticValveTrips: Long = 0L
+
+  /** [[pairsFromAssigned]] behind the hot-cluster candidate-volume valve:
+    * probe Σ c·(c−1)/2 over the (materialized) assignment's cluster
+    * counts — one map-side-combined aggregation of slim rows — and past
+    * `maxCandidates` switch candidate generation to multi-table
+    * random-hyperplane LSH cells intersected with cluster equality (the
+    * "secondary code" sub-split: a hot cluster's self-join volume drops
+    * to its LSH-cell co-occupancy, recall governed by the same
+    * multi-table + Hamming-1 probing the embedding near-dup path audits).
+    * Verification is the same exact unrounded-cosine filter either way. */
+  private def guardedPairsFromAssigned(assigned: DataFrame, threshold: Double,
+                                       maxCandidates: Long): DataFrame = {
+    val vol = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("double") * (col("c") - 1).cast("double") / 2))
+      .head().getAs[Any](0) match {
+        case null => 0.0
+        case d: java.lang.Double => d.doubleValue()
+        case other => other.toString.toDouble
+      }
+    if (vol <= maxCandidates.toDouble) pairsFromAssigned(assigned, threshold)
+    else {
+      semanticValveTrips += 1
+      System.err.println(f"[graft] WARNING: SemDeDup within-cluster candidate volume " +
+        f"~$vol%.3g exceeds maxCandidates=$maxCandidates -- a pathologically hot " +
+        "cluster (near-identical embeddings) would make the cluster self-join " +
+        "quadratic. Auto-switching candidate generation to a random-hyperplane " +
+        "LSH sub-split within clusters (same exact-cosine verification; " +
+        "multi-table + Hamming-1 probe recall as in embeddingCosinePairs).")
+      val codes = Similarity.codesUdf(tables = 4, bits = 8, dim = 64, seed = 7L)
+      val coded = assigned.withColumn("codes", codes(col("v")))
+      // candidates carry only (cluster, cell, id); vectors rejoin per side
+      val l = coded.select(col("cluster"), col("id").as("ida"),
+        explode(Similarity.cellsUdf(4)(col("codes"))).as("cell"))
+      val r = coded.select(col("cluster").as("cluster2"), col("id").as("idb"),
+        explode(Similarity.probesUdf(4, 8)(col("codes"))).as("cell"))
+      l.join(r, l("cell") === r("cell") && col("cluster") === col("cluster2") &&
+          col("ida") < col("idb"))
+        .select("cluster", "ida", "idb").distinct()
+        .join(assigned.select(col("id").as("ida"), col("v").as("va")), Seq("ida"))
+        .join(assigned.select(col("id").as("idb"), col("v").as("vb")), Seq("idb"))
+        .withColumn("c", Similarity.cosCol(col("va"), col("vb")))
+        .filter(col("c") >= threshold)
+        .select(col("ida"), col("idb"), col("cluster"), round(col("c"), 4).as("cosine"))
+    }
+  }
 
   /** Within-cluster exact-cosine pairs over an already-assigned
     * (id, v, cluster) frame — split out so [[semanticDedup]] pays the
@@ -693,7 +756,8 @@ object Dedup {
   def semanticDedupHandle(df: DataFrame, idCol: String, vecCol: String,
                           centroids: Option[Array[Array[Float]]] = None,
                           threshold: Double = 0.95, nClusters: Int = 16,
-                          seed: Long = 7L): (DataFrame, () => Unit) = {
+                          seed: Long = 7L,
+                          maxCandidates: Long = 100000000L): (DataFrame, () => Unit) = {
     val cents = centroids.getOrElse(
       Similarity.trainCentroids(df.select(col(idCol), col(vecCol)),
         idCol, vecCol, nLists = nClusters, seed = seed))
@@ -701,7 +765,8 @@ object Dedup {
       Similarity.assignClusters(
         df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", cents))
     val (surv, freeCc) = dedupClustersHandle(
-      assigned.select("id"), "id", pairsFromAssigned(assigned, threshold))
+      assigned.select("id"), "id",
+      guardedPairsFromAssigned(assigned, threshold, maxCandidates))
     val out = assigned.select(col("id").cast("string").as("id"),
         col("cluster").cast("long").as("cluster"))
       .join(surv, Seq("id"))

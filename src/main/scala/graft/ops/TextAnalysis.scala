@@ -134,6 +134,12 @@ object TextAnalysis {
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), langUdf(col(textCol)).as("lang_pred"))
 
+  /** Column form of the language-ID heuristic — lets a composed pipeline
+    * (the curation funnel) evaluate the gate IN the scan that produces its
+    * input instead of computing a separate (id, lang_pred) projection and
+    * semi-joining it back on id (an id-keyed shuffle join per gate). */
+  def langPredCol(textCol: Column): Column = langUdf(textCol)
+
   /** Deterministic train/val/test assignment by salted id hash — the
     * reproducible corpus-split a training pipeline needs: assignment is a
     * pure function of (id, salt), so it is stable under corpus growth

@@ -333,6 +333,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("SemDeDup hot-cluster valve trips on a planted hot cluster and still finds the dups") {
+    // 150 near-identical vectors + one centroid: everything lands in ONE
+    // cluster, so the unguarded self-join volume is C(150,2) ≈ 11k —
+    // past a 1k valve. Ten exact duplicate pairs are planted (i, i+1000):
+    // identical vectors share every LSH cell in every table, so the
+    // secondary sub-split must still surface them.
+    val base = (0 until 10).flatMap { i =>
+      val v = Array.tabulate(64)(d => (math.sin(i * 64 + d) * 0.01f + 1.0f).toFloat)
+      Seq((i.toLong, v.toSeq), (i + 1000L, v.toSeq))
+    } ++ (20 until 150).map { i =>
+      (i.toLong, Array.tabulate(64)(d => (math.sin(i * 64 + d) * 0.01f + 1.0f).toFloat).toSeq)
+    }
+    val hot = base.toDF("vec_id", "embedding")
+    val seed = Array(Array.tabulate(64)(_ => 1.0f))
+    val before = Dedup.semanticValveTrips
+    val (ded, free) = Dedup.semanticDedupHandle(hot, "vec_id", "embedding",
+      centroids = Some(seed), threshold = 0.999, maxCandidates = 1000L)
+    val byId = ded.collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("group")).toMap
+    free()
+    assert(Dedup.semanticValveTrips === before + 1, "the valve must trip loudly")
+    (0L until 10L).foreach { i =>
+      assert(byId(i.toString) === byId((i + 1000L).toString),
+        s"planted dup of $i must survive the LSH sub-split")
+    }
+    // the default bound stays silent on the oracle corpus (q_semantic_dedup
+    // keeps its exact cluster self-join semantics at verify scale)
+    val b2 = Dedup.semanticValveTrips
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seeds = corpus.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect().map(_.getAs[Seq[Float]](0).toArray)
+    val (quiet, freeQ) = Dedup.semanticDedupHandle(corpus, "vec_id", "embedding",
+      centroids = Some(seeds), threshold = 0.95)
+    quiet.count()
+    freeQ()
+    assert(Dedup.semanticValveTrips === b2, "default valve must stay silent at verify scale")
+  }
+
   test("DSIR importance weights match a driver-side replay; target slice scores higher") {
     import java.security.MessageDigest
     val target = docs.filter(col("source") === "src0")
