@@ -38,17 +38,6 @@ object Linker {
   private def tokenSetRatioCol(a: Column, b: Column): Column =
     graft.functions.TokenSetRatio(a, b)
 
-  /** `concat` returns NULL if ANY input array is null — which would silently
-    * drop every mention of a log row with e.g. a null `properties` column
-    * (possible for externally persisted ExtractionLog tables). Degrade a
-    * null array to empty instead. */
-  private def nn(mentions: Column,
-                 tpe: String = "array<struct<display:string,description:string>>"): Column =
-    coalesce(mentions, array().cast(tpe))
-
-  private val MentionTpe3 =
-    "array<struct<display:string,description:string,is_prop:boolean>>"
-
   /** Per-(doc, chunk, name) mention aggregation — the SINGLE scan of the
     * logs that both the doc-level name table and the per-occurrence
     * contexts derive from (the engine used to scan + shuffle the full
@@ -74,23 +63,32 @@ object Linker {
     * description, is_prop, name_norm), one row per mention occurrence —
     * shared by the desc-bearing chunk aggregation ([[mentionAgg]]) and the
     * desc-FREE slim name rollup ([[uniqueNamesSlim]]; column pruning drops
-    * the description column from that plan's scan and shuffle). */
+    * the description column from that plan's scan and shuffle).
+    *
+    * Four explode branches unioned, NOT one explode over a concat of four
+    * `transform(...)` struct builds: higher-order functions are
+    * CodegenFallback — the transform×4 + concat chain evaluated
+    * interpreted with per-element boxed struct allocation on every log
+    * row (the same reason WordGrams/SpanHashes replaced their HOF
+    * forms), while explode-of-a-plain-array-column + field projection is
+    * whole-stage-codegen end to end. The extra three scans read the
+    * materialized logs stage (narrow cache reads); a null array in a
+    * branch explodes to zero rows, exactly matching the old nn()
+    * null-to-empty degradation per projection. */
   def mentionsRaw(logs: Dataset[ExtractionLog]): DataFrame = {
-    def m(display: Column, description: Column, isProp: Boolean) =
-      struct(display.as("display"), description.as("description"),
-        lit(isProp).as("is_prop"))
-    logs.toDF()
-      .select(col("doc_id"), col("chunk_id"), explode(concat(
-        nn(transform(col("nodes"), n => m(n.getField("name"), n.getField("description"), isProp = false)), MentionTpe3),
-        nn(transform(col("edges"), e => m(e.getField("source"), e.getField("relationship"), isProp = false)), MentionTpe3),
-        nn(transform(col("edges"), e => m(e.getField("target"), e.getField("relationship"), isProp = false)), MentionTpe3),
-        nn(transform(col("properties"),
-          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " "), isProp = true)), MentionTpe3)
-      )).as("mention"))
-      .select(col("doc_id"), col("chunk_id"),
-        col("mention.display").as("display"),
-        col("mention.description").as("description"),
-        col("mention.is_prop").as("is_prop"))
+    val df = logs.toDF()
+    def branch(arr: String, display: Column => Column, description: Column => Column,
+               isProp: Boolean): DataFrame =
+      df.select(col("doc_id"), col("chunk_id"), explode(col(arr)).as("m"))
+        .select(col("doc_id"), col("chunk_id"),
+          display(col("m")).as("display"),
+          description(col("m")).as("description"),
+          lit(isProp).as("is_prop"))
+    branch("nodes", _.getField("name"), _.getField("description"), isProp = false)
+      .unionByName(branch("edges", _.getField("source"), _.getField("relationship"), isProp = false))
+      .unionByName(branch("edges", _.getField("target"), _.getField("relationship"), isProp = false))
+      .unionByName(branch("properties", _.getField("entity_name"),
+        m => array_join(m.getField("properties"), " "), isProp = true))
       .withColumn("name_norm", lower(trim(col("display"))))
       .filter(col("name_norm") =!= "")
   }

@@ -41,13 +41,27 @@ object Dedup {
         (col("id") === col("min_id")).as("keep"))
   }
 
-  private val shinglesUdf = udf((t: String, k: Int) => TextFns.shingles(t, k).distinct)
+  private val shinglesUdf = udf((t: String, k: Int) =>
+    TextFns.shingles(t, k).distinct.map(TextFns.fnv1a64))
   private val minhashUdf = udf((t: String, k: Int, p: Int) => TextFns.minhash(t, k, p))
   private val simhashUdf = udf((t: String) => TextFns.simhash64(t))
 
-  /** Per-doc distinct k-shingle sets, computed ONCE per corpus: every
-    * verification path joins against this instead of re-shingling both
-    * documents per candidate pair (O(pairs x doc length) repeated work). */
+  /** Per-doc distinct k-shingle sets as 64-BIT FNV-1a HASHES, computed
+    * ONCE per corpus: every verification path joins against this instead
+    * of re-shingling both documents per candidate pair (O(pairs x doc
+    * length) repeated work). Hashing is a byte diet (guide §2.3, narrower
+    * types): the exploded (id, shingle) stream feeds THREE corpus-wide
+    * shuffles on the capped path (hot counts, dup groups, per-doc
+    * features) and every verify join — 8-byte longs where ~25-byte
+    * shingle strings used to ride. Set sizes, intersections and unions
+    * are preserved unless two DISTINCT shingles collide in 64 bits: the
+    * expected number of colliding pairs among n corpus-wide distinct
+    * shingles is ~n²/2^65, and one collision perturbs ONE pair's
+    * intersection by one unit. A collision is deterministic (same hash
+    * every run) and would surface as an oracle hash mismatch at verify
+    * time — the same trade the dup-span SpanHashes path (Lee et al.
+    * windows as 8-byte longs) and the linker's xxhash64 name ids
+    * already accepted in earlier rounds. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("id"), shinglesUdf(col(textCol), lit(k)).as("sh"))
 

@@ -174,13 +174,32 @@ object BuildPipeline {
       docMeta.select(col("doc_id"), col("summary")))
 
     // the three final tables derive from the SAME materialized membership —
-    // independent of each other
+    // independent of each other.
+    //
+    // Without a work dir, the edges/properties stages materialize ONLY
+    // the community-layer part and return a LAZY union with the already-
+    // cached level-0 stage (edges0/props0): the round-5 stages re-copied
+    // every level-0 byte into a second cache just to append the (small)
+    // community rows — pure byte duplication a union-of-caches avoids
+    // (consumers re-scan two caches, a narrow zero-shuffle read). The
+    // nodes stage stays a full materialization: its level-0 half is the
+    // n0 ⋈ membership JOIN (real work many downstream consumers read).
+    // With a work dir every stage persists whole, as before (resume
+    // contract unchanged).
+    def unionStage(name: String)(base: DataFrame)(part: => DataFrame): DataFrame =
+      checkpoints match {
+        case Some(cp) => cp.stage(name)(base.unionByName(part))
+        case None =>
+          val (p, rdd) = Materialize.stageCutHandle(part)
+          cuts.synchronized { cuts += rdd }
+          base.unionByName(p)
+      }
     val nodesF = fork(stage("nodes") {
       layer.nodesWithCommunity.unionByName(layer.communityNodes).unionByName(layer.docNodes)
     })
-    val edgesF = fork(stage("edges")(edges0.unionByName(layer.communityEdges)))
-    val propertiesF = fork(stage("properties") {
-      props0.unionByName(layer.communityProperties).unionByName(layer.docProperties)
+    val edgesF = fork(unionStage("edges")(edges0)(layer.communityEdges))
+    val propertiesF = fork(unionStage("properties")(props0) {
+      layer.communityProperties.unionByName(layer.docProperties)
     })
     val (nodes, edges, properties) = (await(nodesF), await(edgesF), await(propertiesF))
     // all downstream tables are checkpointed (or derive from checkpoints) —
