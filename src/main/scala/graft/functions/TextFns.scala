@@ -273,6 +273,48 @@ object TextFns {
     else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).toArray
   }
 
+  /** FNV-1a of the window `toks(start..start+len)` joined with single
+    * spaces, WITHOUT materializing the joined string — char-identical to
+    * `fnv1a64(toks.slice(start, start+len).mkString(" "))`. */
+  private def fnvWindow(toks: Array[String], start: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = 0
+    while (j < len) {
+      if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+      val t = toks(start + j)
+      var i = 0
+      while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      j += 1
+    }
+    h
+  }
+
+  /** The DISTINCT set of `fnv1a64(shingle)` values of [[shingles]], as a
+    * sorted array — exactly `shingles(text, k).distinct.map(fnv1a64)` as
+    * a set, computed without building any shingle string (one rolling
+    * FNV per window over the token chars, sort + in-place dedup instead
+    * of boxed distinct). This is the per-document feature of the
+    * ngram-Jaccard verification paths, which consume it purely as a set
+    * (sizes and intersections), so element order is free. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = if (text == null) Array.empty[String] else splitNonAlnum(text)
+    if (toks.isEmpty) return Array.empty[Long]
+    if (toks.length < k) return Array(fnvWindow(toks, 0, toks.length))
+    val n = toks.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = fnvWindow(toks, i, k); i += 1 }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted run
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == n) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
   /** MinHash signature of `numPerm` 64-bit minima over shingles. */
   def minhash(text: String, k: Int, numPerm: Int): Array[Long] = {
     val sh = shingles(text, k)

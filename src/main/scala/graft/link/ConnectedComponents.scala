@@ -138,10 +138,18 @@ object ConnectedComponents {
         .union(p.select(col("key"), col("v").as("u"), col("u").as("v")))
       val lmin = nbrs.groupBy("key", "u").agg(min("v").as("mv"))
         .select(col("key"), col("u"), least(col("mv"), col("u")).as("m"))
+      // NOT deduplicated (no self-pair guard needed: m <= u < v
+      // throughout): the two consumers below are duplicate-insensitive —
+      // smin is a min-aggregate and the join's output feeds small's own
+      // canonicalizing distinct — so a distinct here would buy nothing
+      // semantically and cost a full (key, u, v)-keyed exchange per
+      // iteration. Duplicate multiplicity of a (v, m) row is bounded by
+      // how many large-star hubs re-attach v to the same m in one round;
+      // those extra rows ride two cheap exchanges and collapse at the
+      // aggregates.
       val large = nbrs.join(lmin, Seq("key", "u"))
         .filter(col("v") > col("u"))
         .select(col("key"), col("v").as("u"), col("m").as("v"))
-        .distinct() // no self-pair guard needed: m <= u < v throughout
       // SMALL-STAR: after large-star every neighbor of u is < u, so the
       // closed-neighborhood minimum is just min(v); u itself re-attaches.
       val smin = large.groupBy("key", "u").agg(min("v").as("m"))

@@ -41,8 +41,7 @@ object Dedup {
         (col("id") === col("min_id")).as("keep"))
   }
 
-  private val shinglesUdf = udf((t: String, k: Int) =>
-    TextFns.shingles(t, k).distinct.map(TextFns.fnv1a64))
+  private val shinglesUdf = udf((t: String, k: Int) => TextFns.shingleHashes(t, k))
   private val minhashUdf = udf((t: String, k: Int, p: Int) => TextFns.minhash(t, k, p))
   private val simhashUdf = udf((t: String) => TextFns.simhash64(t))
 

@@ -41,6 +41,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("expects 1 argument"))
   }
 
+  test("shingleHashes equals the hash set of the string shingles (fused fast path)") {
+    import graft.functions.TextFns
+    val texts = Seq(
+      "", "   ", "one", "one two", "alpha beta gamma delta alpha beta gamma",
+      "Dr Elena Vasquez collaborates with Vertex Analytics Group.",
+      "a b a b a b a b", "x;y,z--w  q", "Ünïcode tëst ünïcode tëst wörds")
+    for (t <- texts; k <- 1 to 4) {
+      val want = TextFns.shingles(t, k).distinct.map(TextFns.fnv1a64).toSet
+      val got = TextFns.shingleHashes(t, k).toSet
+      assert(got === want, s"text='$t' k=$k")
+      // sorted + deduped contract
+      val arr = TextFns.shingleHashes(t, k)
+      assert(arr.toSeq === arr.toSeq.sorted)
+      assert(arr.length === arr.toSet.size)
+    }
+  }
+
   test("native cosine expression equals the Scala function, handles nulls and dim mismatch") {
     import graft.functions.CosineSim
     val rows = Seq(
