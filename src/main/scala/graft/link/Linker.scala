@@ -239,7 +239,13 @@ object Linker {
     // documents ever read — measured 58% of linker shuffle bytes at 96k
     // docs). The chunk aggregation is re-run below over the
     // ambiguous-document slice of the (upstream-materialized) logs.
-    val names = timed("names")(materialize(uniqueNamesSlim(logs)))
+    // LAZY: all three consumers of the name table (the fused resolve's
+    // nameRows and both sides of the prefix-blocking self-join) sit inside
+    // the single `resolved` materialization job, where the rollup's
+    // exchange is computed once and shared via ReusedExchange — an eager
+    // cut here bought plan truncation at the price of a full barrier
+    // (one shuffle-stage latency + a cache copy of the name table).
+    val names = uniqueNamesSlim(logs)
     // Dictionary encoding: a 64-bit xxhash64 id per name. Pair rows carry
     // 8-byte ids instead of name strings (matchedPairIds). A same-doc id
     // collision would merge two names; at ~2^-64 per same-doc name pair it
@@ -328,11 +334,16 @@ object Linker {
     // description text instead of all of it
     val logsAmbig = logs.toDF().join(ambigDocs, Seq("doc_id"), "left_semi")
       .as[graft.core.ExtractionLog]
-    val aggAmbig = materialize(mentionAgg(logsAmbig))
+    // LAZY (with namesAmbig and ambiguous below): every consumer of the
+    // ambiguous-slice aggregations lives inside the one `mapping` stage
+    // materialization job, so their shared subtrees dedup at the exchange
+    // (ReusedExchange) instead of paying one barrier each — the round-5
+    // plan spent three materialization barriers on a ~2% slice.
+    val aggAmbig = mentionAgg(logsAmbig)
     // full name table (descs/ne_descs/prop_descs) for ambiguous docs —
     // containment gathering scans ALL names of the doc, so this derives
     // from the doc-scoped semi join, not from the ambiguous names alone
-    val namesAmbig = materialize(uniqueNamesFrom(aggAmbig))
+    val namesAmbig = uniqueNamesFrom(aggAmbig)
 
     // A6 — candidate context gathered by SUBSTRING CONTAINMENT across the
     // doc's mention names (reference node_matcher.py:104-143: a candidate
@@ -356,12 +367,12 @@ object Linker {
     // candidates with containment-gathered context (falls back to empty
     // when nothing in the doc contains the candidate name); materialized
     // once — BOTH the doc-level default and the per-chunk overrides join it
-    val ambiguous = timed("ambiguous")(materialize(resolved.filter(size(col("candidates")) > 1)
+    val ambiguous = resolved.filter(size(col("candidates")) > 1)
       .select(col("doc_id"), col("name_norm"), explode(col("candidates")).as("c"))
       .select(col("doc_id"), col("name_norm"),
         col("c._1").as("cand_norm"), col("c._2").as("cand_display"))
       .join(gathered, Seq("doc_id", "cand_norm"), "left")
-      .withColumn("cand_descs", coalesce(col("cand_descs"), lit("")))))
+      .withColumn("cand_descs", coalesce(col("cand_descs"), lit("")))
 
     // doc-level default for ambiguous members: rerank the member's own
     // gathered descriptions against each candidate's CONTAINMENT context
@@ -397,11 +408,7 @@ object Linker {
         col("name_norm"), col("cand_norm").as("canonical_norm"), col("cand_display").as("canonical"))
 
     LinkResult(docLevel.unionByName(overrides), () => {
-      names.unpersist(blocking = false)
       resolved.unpersist(blocking = false)
-      ambiguous.unpersist(blocking = false)
-      aggAmbig.unpersist(blocking = false)
-      namesAmbig.unpersist(blocking = false)
     })
   }
 

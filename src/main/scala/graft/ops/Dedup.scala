@@ -215,14 +215,18 @@ object Dedup {
       // shingles)) hot table itself: it feeds BOTH the grouped and the
       // docFeats stage-cuts, and leaving it lazy makes each of them
       // recompute the aggregation — a fourth full-corpus shingle scan
+      // ALWAYS stage-cut the (tiny, O(#hot shingles)) hot table: its two
+      // consumers sit in DIFFERENT jobs (the `grouped` stage cut's
+      // anti-join broadcast and the final job's left-join broadcast), so
+      // without a cut the full-corpus hot aggregation runs once per
+      // broadcast — exchange reuse never applies across jobs. One tiny
+      // barrier buys back a full exploded-stream aggregation.
       val hot0 = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
         .filter(col("df_g") > maxShingleDf).select("g")
-      val (hot, hotFree): (DataFrame, () => Unit) =
-        if (cacheExploded) (hot0, () => ())
-        else {
-          val (d, r) = graft.core.Materialize.stageCutHandle(hot0)
-          (d, () => r.unpersist(blocking = false))
-        }
+      val (hot, hotFree): (DataFrame, () => Unit) = {
+        val (d, r) = graft.core.Materialize.stageCutHandle(hot0)
+        (d, () => r.unpersist(blocking = false))
+      }
       // dup-shingle working set (groups of 2..cap docs), stage-cut because
       // both sides of the pair join read it; pairs expand through a
       // posexplode self-join on (group, i < j) — pure codegen, and

@@ -92,6 +92,18 @@ object BuildPipeline {
     // a long-running stream would otherwise accumulate ~9 cached RDDs per
     // micro-batch until driver GC (or forever under GRAFT_NO_CLEANER)
     val cuts = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+
+    // The input table has THREE consumers (chunk packing, visual-span
+    // routing inside the logs stage, full-text assembly for doc_meta) —
+    // without a cut each re-runs the source (for the synthetic corpus:
+    // three full generation passes; for a real source: three scans).
+    // LAZY persist: the first consumer to touch a partition computes it,
+    // the block manager's per-partition lock shares it with the others,
+    // and a fully-resumed checkpointed build never materializes it at
+    // all. Freed with the other stage cuts by BuildResult.cleanup.
+    val (docsCut, docsRdd) = Materialize.stageCutLazyHandle(docs.toDF())
+    cuts += docsRdd
+    val docsC = docsCut.as[DocRow]
     def stage(name: String, shared: Boolean = true)(compute: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val out = checkpoints match {
@@ -124,7 +136,7 @@ object BuildPipeline {
     // CHUNKS' token_num — a doc-level estimateTokens over the full text
     // would be an O(text) pass per document whose result nothing reads)
     val docMetaF = fork(stage("doc_meta") {
-      Chunker.fullTexts(docs).mapPartitions { it =>
+      Chunker.fullTexts(docsC).mapPartitions { it =>
         BoundedExec.mapBounded(it, extractor.maxConcurrency) { case (docId, txt) =>
           (docId, extractor.keywords(txt), extractor.summary(txt))
         }
@@ -132,12 +144,12 @@ object BuildPipeline {
     })
 
     // --- chunking ---------------------------------------------------------
-    val chunks = stage("chunks")(Chunker.chunks(docs).toDF())
+    val chunks = stage("chunks")(Chunker.chunks(docsC).toDF())
     val chunksT = chunks.as[Chunk]
 
     // --- extraction (L3..L6) ------------------------------------------------
     val logs = stage("logs") {
-      val raw = Extract.rawLogs(chunksT, Chunker.visualSpans(docs), extractor)
+      val raw = Extract.rawLogs(chunksT, Chunker.visualSpans(docsC), extractor)
       Extract.withProperties(raw, extractor).toDF()
     }
     val logsT = logs.as[ExtractionLog]
