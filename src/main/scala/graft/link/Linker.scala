@@ -59,36 +59,47 @@ object Linker {
         collect_set(when(!col("is_prop"), col("description"))).as("ne_set"),
         collect_set(when(col("is_prop"), col("description"))).as("prop_set"))
 
+  /** `concat` returns NULL if ANY input array is null — which would silently
+    * drop every mention of a log row with e.g. a null `properties` column
+    * (possible for externally persisted ExtractionLog tables). Degrade a
+    * null array to empty instead. */
+  private def nn(mentions: Column,
+                 tpe: String = "array<struct<display:string,description:string>>"): Column =
+    coalesce(mentions, array().cast(tpe))
+
+  private val MentionTpe3 =
+    "array<struct<display:string,description:string,is_prop:boolean>>"
+
   /** The exploded mention stream itself: (doc_id, chunk_id, display,
     * description, is_prop, name_norm), one row per mention occurrence —
     * shared by the desc-bearing chunk aggregation ([[mentionAgg]]) and the
     * desc-FREE slim name rollup ([[uniqueNamesSlim]]; column pruning drops
     * the description column from that plan's scan and shuffle).
     *
-    * Four explode branches unioned, NOT one explode over a concat of four
-    * `transform(...)` struct builds: higher-order functions are
-    * CodegenFallback — the transform×4 + concat chain evaluated
-    * interpreted with per-element boxed struct allocation on every log
-    * row (the same reason WordGrams/SpanHashes replaced their HOF
-    * forms), while explode-of-a-plain-array-column + field projection is
-    * whole-stage-codegen end to end. The extra three scans read the
-    * materialized logs stage (narrow cache reads); a null array in a
-    * branch explodes to zero rows, exactly matching the old nn()
-    * null-to-empty degradation per projection. */
+    * Deliberately ONE pass (transform×4 + concat + explode), not a 4-way
+    * union of per-array explode branches: the HOF chain is interpreted
+    * (CodegenFallback), but the branch union was measured WORSE at scale —
+    * union concatenates the branches' partitions, so a (doc, name) seen by
+    * several branches never collapses in the same map-side partial
+    * aggregation, and the name-rollup exchange grew ~9% at 96k docs
+    * (ShuffleProbe) while the interpreted explode itself profiled at only
+    * ~0.2 s per full pass at sf0.1. */
   def mentionsRaw(logs: Dataset[ExtractionLog]): DataFrame = {
-    val df = logs.toDF()
-    def branch(arr: String, display: Column => Column, description: Column => Column,
-               isProp: Boolean): DataFrame =
-      df.select(col("doc_id"), col("chunk_id"), explode(col(arr)).as("m"))
-        .select(col("doc_id"), col("chunk_id"),
-          display(col("m")).as("display"),
-          description(col("m")).as("description"),
-          lit(isProp).as("is_prop"))
-    branch("nodes", _.getField("name"), _.getField("description"), isProp = false)
-      .unionByName(branch("edges", _.getField("source"), _.getField("relationship"), isProp = false))
-      .unionByName(branch("edges", _.getField("target"), _.getField("relationship"), isProp = false))
-      .unionByName(branch("properties", _.getField("entity_name"),
-        m => array_join(m.getField("properties"), " "), isProp = true))
+    def m(display: Column, description: Column, isProp: Boolean) =
+      struct(display.as("display"), description.as("description"),
+        lit(isProp).as("is_prop"))
+    logs.toDF()
+      .select(col("doc_id"), col("chunk_id"), explode(concat(
+        nn(transform(col("nodes"), n => m(n.getField("name"), n.getField("description"), isProp = false)), MentionTpe3),
+        nn(transform(col("edges"), e => m(e.getField("source"), e.getField("relationship"), isProp = false)), MentionTpe3),
+        nn(transform(col("edges"), e => m(e.getField("target"), e.getField("relationship"), isProp = false)), MentionTpe3),
+        nn(transform(col("properties"),
+          p => m(p.getField("entity_name"), array_join(p.getField("properties"), " "), isProp = true)), MentionTpe3)
+      )).as("mention"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("mention.display").as("display"),
+        col("mention.description").as("description"),
+        col("mention.is_prop").as("is_prop"))
       .withColumn("name_norm", lower(trim(col("display"))))
       .filter(col("name_norm") =!= "")
   }
@@ -239,13 +250,14 @@ object Linker {
     // documents ever read — measured 58% of linker shuffle bytes at 96k
     // docs). The chunk aggregation is re-run below over the
     // ambiguous-document slice of the (upstream-materialized) logs.
-    // LAZY: all three consumers of the name table (the fused resolve's
-    // nameRows and both sides of the prefix-blocking self-join) sit inside
-    // the single `resolved` materialization job, where the rollup's
-    // exchange is computed once and shared via ReusedExchange — an eager
-    // cut here bought plan truncation at the price of a full barrier
-    // (one shuffle-stage latency + a cache copy of the name table).
-    val names = uniqueNamesSlim(logs)
+    // EAGER: the name table has three consumers inside the `resolved` job
+    // (the fused resolve's nameRows and both sides of the prefix-blocking
+    // self-join). A lazy plan was measured to RE-RUN the mention-explode
+    // rollup per consumer at 96k docs (ShuffleProbe: linker shuffle
+    // 505 -> 1406 MiB — the rollup's exchange was not reused across the
+    // three differently-projected subtrees), so the one-barrier cut is
+    // the cheaper trade at scale.
+    val names = timed("names")(materialize(uniqueNamesSlim(logs)))
     // Dictionary encoding: a 64-bit xxhash64 id per name. Pair rows carry
     // 8-byte ids instead of name strings (matchedPairIds). A same-doc id
     // collision would merge two names; at ~2^-64 per same-doc name pair it
@@ -253,18 +265,19 @@ object Linker {
     // kg_mapping oracle hash mismatch, not silent corruption.
     val pairs = matchedPairIds(names)
 
-    // FUSED union-find + cluster resolution: one groupByKey(doc_id) over
-    // the union of name rows (id + name payload) and match-pair rows
-    // (ids only). Per-doc graphs are bounded by doc size, so the whole
+    // FUSED union-find + cluster resolution: ONE doc_id-keyed cogroup of
+    // the name rows (id + name payload) with the match-pair rows (ids
+    // only). Per-doc graphs are bounded by doc size, so the whole
     // component formation AND resolveCluster run inside a single typed
     // fold — the same per-key 8-byte union-find the round-5 plan ran in
     // ConnectedComponents.runPerKeyLong, now inlined so the round-5
     // three-exchange chain (union-find groupByKey → comps⋈names rejoin →
     // second groupByKey((doc, component)) into resolveCluster) collapses
-    // to ONE doc_id-keyed exchange. Shuffle bytes drop too: the name
-    // strings cross once (they previously rode both the rejoin and the
-    // (doc, component) shuffle). Byte-identical resolution by
-    // construction: resolveCluster is set-based (maximality, sorted
+    // to one exchange per input. cogroup, NOT a unioned groupByKey: each
+    // side shuffles with its OWN schema — a unioned stream was measured
+    // +50 MiB at 96k docs because every slim (doc, a, b) pair row paid
+    // the union schema's two dead string slots. Byte-identical resolution
+    // by construction: resolveCluster is set-based (maximality, sorted
     // candidate lists, total-order tie-breaks), so per-group row order —
     // the only thing the fusion changes — cannot affect any output row.
     //
@@ -274,14 +287,13 @@ object Linker {
     // containment-gathered contexts (the reference's node_matcher
     // semantics), so descriptions stay out of this corpus-wide shuffle.
     val nameRows = names.select(col("doc_id"),
-      xxhash64(col("name_norm")).as("a"), lit(0L).as("b"),
-      col("name_norm"), col("display"))
-    val pairRows = pairs.select(col("doc_id"), col("a"), col("b"),
-      lit(null).cast("string").as("name_norm"), lit(null).cast("string").as("display"))
-    val resolved = timed("resolved")(materialize(nameRows.unionByName(pairRows)
-      .as[(String, Long, Long, String, String)]
+      xxhash64(col("name_norm")).as("nid"), col("name_norm"), col("display"))
+      .as[(String, Long, String, String)]
       .groupByKey(_._1)
-      .flatMapGroups { (doc: String, rows: Iterator[(String, Long, Long, String, String)]) =>
+    val pairRows = pairs.as[(String, Long, Long)].groupByKey(_._1)
+    val resolved = timed("resolved")(materialize(nameRows.cogroup(pairRows) {
+      (doc: String, ns: Iterator[(String, Long, String, String)],
+       ps: Iterator[(String, Long, Long)]) =>
         // union-find over 8-byte ids with path compression (union-by-min
         // is NOT needed here: labels are only grouping keys, and
         // resolveCluster output is independent of which member roots)
@@ -295,13 +307,13 @@ object Linker {
           while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        rows.foreach { case (_, a, b, norm, display) =>
-          if (norm != null) { add(a); members += ((a, norm, display)) }
-          else {
-            add(a); add(b)
-            val ra = find(a); val rb = find(b)
-            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-          }
+        ns.foreach { case (_, nid, norm, display) =>
+          add(nid); members += ((nid, norm, display))
+        }
+        ps.foreach { case (_, a, b) =>
+          add(a); add(b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
         // group declared members by component root; every name row is
         // retained as its own member (two same-doc names colliding on
@@ -334,16 +346,11 @@ object Linker {
     // description text instead of all of it
     val logsAmbig = logs.toDF().join(ambigDocs, Seq("doc_id"), "left_semi")
       .as[graft.core.ExtractionLog]
-    // LAZY (with namesAmbig and ambiguous below): every consumer of the
-    // ambiguous-slice aggregations lives inside the one `mapping` stage
-    // materialization job, so their shared subtrees dedup at the exchange
-    // (ReusedExchange) instead of paying one barrier each — the round-5
-    // plan spent three materialization barriers on a ~2% slice.
-    val aggAmbig = mentionAgg(logsAmbig)
+    val aggAmbig = materialize(mentionAgg(logsAmbig))
     // full name table (descs/ne_descs/prop_descs) for ambiguous docs —
     // containment gathering scans ALL names of the doc, so this derives
     // from the doc-scoped semi join, not from the ambiguous names alone
-    val namesAmbig = uniqueNamesFrom(aggAmbig)
+    val namesAmbig = materialize(uniqueNamesFrom(aggAmbig))
 
     // A6 — candidate context gathered by SUBSTRING CONTAINMENT across the
     // doc's mention names (reference node_matcher.py:104-143: a candidate
@@ -367,12 +374,12 @@ object Linker {
     // candidates with containment-gathered context (falls back to empty
     // when nothing in the doc contains the candidate name); materialized
     // once — BOTH the doc-level default and the per-chunk overrides join it
-    val ambiguous = resolved.filter(size(col("candidates")) > 1)
+    val ambiguous = materialize(resolved.filter(size(col("candidates")) > 1)
       .select(col("doc_id"), col("name_norm"), explode(col("candidates")).as("c"))
       .select(col("doc_id"), col("name_norm"),
         col("c._1").as("cand_norm"), col("c._2").as("cand_display"))
       .join(gathered, Seq("doc_id", "cand_norm"), "left")
-      .withColumn("cand_descs", coalesce(col("cand_descs"), lit("")))
+      .withColumn("cand_descs", coalesce(col("cand_descs"), lit(""))))
 
     // doc-level default for ambiguous members: rerank the member's own
     // gathered descriptions against each candidate's CONTAINMENT context
@@ -408,7 +415,11 @@ object Linker {
         col("name_norm"), col("cand_norm").as("canonical_norm"), col("cand_display").as("canonical"))
 
     LinkResult(docLevel.unionByName(overrides), () => {
+      names.unpersist(blocking = false)
       resolved.unpersist(blocking = false)
+      ambiguous.unpersist(blocking = false)
+      aggAmbig.unpersist(blocking = false)
+      namesAmbig.unpersist(blocking = false)
     })
   }
 

@@ -280,11 +280,12 @@ object TextAnalysis {
     * score(t, D) = tf(t, D) * ln((N + 1) / (df_t + 1)) (add-one smoothed
     * idf), ties broken by term ascending.
     *
-    * 100 TB shape: tokens are exploded ONCE under an explicit (id)
-    * repartition, so the per-(id, term) count reuses that partitioning
-    * (no second shuffle — hash(id) co-locates every (id, term) group);
-    * document frequencies are a partial-agg rollup of the already-slim
-    * (id, term, tf) relation; N is a one-row broadcast. The final top-k
+    * 100 TB shape: tokens are exploded ONCE, on the map side of the
+    * (id, term) aggregation exchange (partial aggregation collapses
+    * repeated terms before the shuffle, and both downstream consumers
+    * reuse that one exchange); document frequencies are a partial-agg
+    * rollup of the already-slim (id, term, tf) relation; N is a one-row
+    * broadcast. The final top-k
     * window partitions by id — partition size is bounded by per-document
     * distinct terms, never by corpus size, so there is no hot-key window
     * hazard. All score inputs are integers, so the double scores (and
@@ -295,8 +296,17 @@ object TextAnalysis {
     require(k >= 1, s"top-k must be >= 1, got $k")
     val words = TextFns.tokensCol(col("_t"))
     val n1 = broadcast(df.agg(count(lit(1)).as("_n")))
+    // explode BELOW the aggregation exchange, not below a repartition(id):
+    // `tf` has two consumers (the df rollup and the score join), and with
+    // the old repartition-by-id layout only the (id, text) exchange was
+    // reusable — each consumer re-ran the explode + token count above it
+    // (measured as two full Generate+HashAggregate subtrees in the plan).
+    // groupBy's own (id, term) exchange puts explode + partial agg on the
+    // map side — computed once, reused by both consumers, with only the
+    // cheap final agg duplicated. Partial aggregation also collapses
+    // repeated terms before the shuffle, and the composite key spreads a
+    // hot term across documents (no skewed partition at corpus scale).
     val tf = df.select(col(idCol).as("id"), col(textCol).as("_t"))
-      .repartition(col("id"))
       .select(col("id"), explode(words).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("term").agg(count(lit(1)).as("_df"))
