@@ -18,7 +18,15 @@ object ShuffleProbe {
     val wBytes = new java.util.concurrent.atomic.AtomicLong
     val rBytes = new java.util.concurrent.atomic.AtomicLong
     val wRecs = new java.util.concurrent.atomic.AtomicLong
-    val top = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    // stageId -> job description (the pipeline labels its materializing
+    // jobs via setJobDescription; AQE sub-jobs inherit the thread-local)
+    val stageDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val byDesc = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val d = Option(e.properties).map(_.getProperty("spark.job.description"))
+        .filter(_ != null).getOrElse("(unlabeled)")
+      e.stageIds.foreach(sid => stageDesc.put(sid, d))
+    }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       val m = e.stageInfo.taskMetrics
       if (m != null) {
@@ -26,7 +34,11 @@ object ShuffleProbe {
         wBytes.addAndGet(w)
         rBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         wRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-        if (w > 0) top.add((w, e.stageInfo.name.takeWhile(_ != '\n').take(120)))
+        if (w > 0) {
+          val d = stageDesc.getOrDefault(e.stageInfo.stageId, "(unlabeled)")
+          byDesc.computeIfAbsent(d, _ => new java.util.concurrent.atomic.AtomicLong)
+            .addAndGet(w)
+        }
       }
     }
   }
@@ -77,9 +89,10 @@ object ShuffleProbe {
       f"shuffleRead=${acc.rBytes.get / 1048576.0}%.1f MiB " +
       f"records=${acc.wRecs.get}")
     import scala.jdk.CollectionConverters._
-    acc.top.asScala.toVector.sortBy(-_._1).take(12).foreach { case (w, name) =>
-      println(f"[shuffle-probe]   ${w / 1048576.0}%8.1f MiB  $name")
-    }
+    acc.byDesc.asScala.toVector.map { case (d, w) => (w.get, d) }
+      .sortBy(-_._1).take(20).foreach { case (w, d) =>
+        println(f"[shuffle-probe]   ${w / 1048576.0}%8.1f MiB  $d")
+      }
     spark.stop()
   }
 }

@@ -232,7 +232,9 @@ object Linker {
 
     def timed[T](what: String)(body: => T): T = {
       val t0 = System.nanoTime()
+      spark.sparkContext.setJobDescription(s"graft-link:$what")
       val out = body
+      spark.sparkContext.setJobDescription(null)
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
         System.err.println(f"[link-timing] $what%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       out

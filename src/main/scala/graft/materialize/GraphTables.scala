@@ -90,7 +90,9 @@ object GraphTables {
 
     def timed[T](what: String)(body: => T): T = {
       val t0 = System.nanoTime()
+      spark.sparkContext.setJobDescription(s"graft-mat:$what")
       val out = body
+      spark.sparkContext.setJobDescription(null)
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
         System.err.println(f"[mat-timing] $what%-12s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       out

@@ -106,6 +106,10 @@ object BuildPipeline {
     val docsC = docsCut.as[DocRow]
     def stage(name: String, shared: Boolean = true)(compute: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
+      // label the materializing jobs (guide: setJobDescription is
+      // thread-local and AQE sub-jobs inherit it) so the UI and the
+      // shuffle probe attribute stages to pipeline stages by name
+      spark.sparkContext.setJobDescription(s"graft-stage:$name")
       val out = checkpoints match {
         case Some(cp) => cp.stage(name)(compute)
         case None =>
@@ -118,6 +122,7 @@ object BuildPipeline {
             df
           } else compute
       }
+      spark.sparkContext.setJobDescription(null)
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
         System.err.println(f"[stage-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
       out
@@ -202,7 +207,9 @@ object BuildPipeline {
       checkpoints match {
         case Some(cp) => cp.stage(name)(base.unionByName(part))
         case None =>
+          spark.sparkContext.setJobDescription(s"graft-stage:$name-part")
           val (p, rdd) = Materialize.stageCutHandle(part)
+          spark.sparkContext.setJobDescription(null)
           cuts.synchronized { cuts += rdd }
           base.unionByName(p)
       }
