@@ -24,6 +24,12 @@
 # at the driver's collection time OOM-killed the round's bench + verify):
 #   - GRAFT_CAMPAIGN_BUDGET_MINS (default 75): no NEW round starts after
 #     this much wall-clock; the campaign summarizes what it has and exits.
+#   - GRAFT_CAMPAIGN_IDLE_GRACE_MINS (default 15): subtracted from the
+#     budget for the round-start check, so the LAST round finishes and the
+#     box idles before the window closes — a bench collected minutes after
+#     a campaign teardown reads the teardown's thermal/cache shadow, not
+#     the engine (round-5 post-mortem: driver read 34.3 s where the idle
+#     box read 30.3 s). The grace must exceed one paired round's wall.
 #   - /tmp/graft-campaign-running exists while legs run (removed on exit);
 #     /tmp/campaign_done is (re)touched on every clean completion. Check
 #     either before launching anything memory-heavy on this host.
@@ -130,10 +136,11 @@ leg() {
   cleanup
 }
 
+IDLE_GRACE_MINS=${GRAFT_CAMPAIGN_IDLE_GRACE_MINS:-15}
 for r in $(seq 1 "$ROUNDS"); do
   ELAPSED_MINS=$(( ($(date +%s) - T_START) / 60 ))
-  if [ "$ELAPSED_MINS" -ge "$BUDGET_MINS" ]; then
-    echo "[scaling-driver] budget ${BUDGET_MINS}m exhausted after $((r-1)) rounds — summarizing early"
+  if [ "$ELAPSED_MINS" -ge "$((BUDGET_MINS - IDLE_GRACE_MINS))" ]; then
+    echo "[scaling-driver] budget ${BUDGET_MINS}m (incl. ${IDLE_GRACE_MINS}m idle grace) exhausted after $((r-1)) rounds — summarizing early"
     break
   fi
   echo "[scaling-driver] round $r (elapsed ${ELAPSED_MINS}m / budget ${BUDGET_MINS}m)"
