@@ -30,6 +30,13 @@ object BuildMain {
     val bpeVocab = flags.collectFirst { case f if f.startsWith("--bpe-vocab=") =>
       f.stripPrefix("--bpe-vocab=") }
     bpeVocab.foreach(System.setProperty(graft.functions.Tokens.VocabProp, _))
+    // fail on a mistyped flag instead of silently running a whole build
+    // without it (--bpe_vocab=... used to run with estimator counts and
+    // only the absence of the exact-BPE banner hinted at the typo)
+    flags.filterNot(_.startsWith("--bpe-vocab=")).foreach { f =>
+      System.err.println(s"[graft] unrecognized flag: $f (known: --bpe-vocab=<merges file>)")
+      sys.exit(2)
+    }
 
     val workDir = args.headOption.getOrElse("/tmp/graft-build")
     val nDocs = if (args.length > 1) args(1).toLong else 500L

@@ -226,6 +226,16 @@ object Linker {
   def canonicalMapping(logs: Dataset[ExtractionLog]): DataFrame =
     canonicalMappingResult(logs).mapping
 
+  /** PRECONDITION: `logs` must be MATERIALIZED (checkpointed/persisted) or
+    * at least a deterministic plan. The round-5 split scans `logs` twice —
+    * the slim name rollup here, and the ambiguous-slice re-aggregation
+    * below — so a lazy plan over a NON-deterministic extractor (e.g. a
+    * live HttpExtractor) could rank ambiguous-member overrides against
+    * different descriptions than the name table saw. Every in-repo caller
+    * passes a checkpointed/persisted stage (BuildPipeline's logs stage,
+    * ShuffleProbe's eager cut); external callers with a lazy
+    * non-deterministic source must cut it first. A deterministic lazy
+    * plan (MappingDump) is correct but pays a second extraction pass. */
   def canonicalMappingResult(logs: Dataset[ExtractionLog]): LinkResult = {
     val spark = logs.sparkSession
     import spark.implicits._

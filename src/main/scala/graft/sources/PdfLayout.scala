@@ -76,10 +76,34 @@ object PdfLayout {
   object PdfModels {
     val TokenModelEnv = "GRAFT_PDF_TOKEN_MODEL"
     val ParaModelEnv = "GRAFT_PDF_PARA_MODEL"
+    /** Fail LOUDLY on a model trained against a different feature/class
+      * contract than this seam's (the seam's promise): Tree.score
+      * zero-fills any feature index beyond the caller's vector, so a
+      * wider-contract artifact (e.g. the reference's huridocs models,
+      * which read dozens of features) would otherwise produce silently
+      * wrong classifications instead of an error naming the mismatch. */
+    private[graft] def validated(m: Option[LightGbmModel], what: String,
+                                 nFeatures: Int, wantClasses: Option[Int]): Option[LightGbmModel] =
+      m.map { model =>
+        require(model.maxFeatureIdx < nFeatures,
+          s"$what model reads feature index ${model.maxFeatureIdx} but this seam's " +
+          s"$what feature vector has exactly $nFeatures entries (contract documented " +
+          s"on PdfModels) — the supplied artifact was trained against a different " +
+          s"feature set and would score garbage; train against the documented vector")
+        wantClasses.foreach { nc =>
+          require(model.numClass == nc,
+            s"$what model has num_class=${model.numClass} but this seam expects $nc " +
+            s"(TokenTypeLabels order, documented on PdfModels) — wrong artifact")
+        }
+        model
+      }
     /** Resolved lazily PER JVM — [[segments]] references it inside the
       * flatMapGroups lambda, so executors load from their local copy. */
-    lazy val fromEnv: PdfModels =
-      PdfModels(LightGbmModel.fromEnv(TokenModelEnv), LightGbmModel.fromEnv(ParaModelEnv))
+    lazy val fromEnv: PdfModels = PdfModels(
+      validated(LightGbmModel.fromEnv(TokenModelEnv), "token-type",
+        nFeatures = 10, wantClasses = Some(TokenTypeLabels.length)),
+      validated(LightGbmModel.fromEnv(ParaModelEnv), "paragraph",
+        nFeatures = 5, wantClasses = Some(1)))
     val none: PdfModels = PdfModels(None, None)
   }
 
@@ -101,8 +125,13 @@ object PdfLayout {
                     model: Option[LightGbmModel] = None): String =
     model match {
       case Some(m) =>
-        TokenTypeLabels(math.min(m.predictClass(tokenFeatures(t, pageMedianFont)),
-          TokenTypeLabels.length - 1))
+        // out-of-range class index falls back to TEXT — the reference's
+        // TokenType.from_index convention; clamping to the LAST label
+        // (PAGE_FOOTER) both diverged from it and hid a num_class
+        // mismatch. PdfModels.fromEnv additionally rejects such a model
+        // at load time; the fallback covers direct callers.
+        val i = m.predictClass(tokenFeatures(t, pageMedianFont))
+        if (i >= 0 && i < TokenTypeLabels.length) TokenTypeLabels(i) else "TEXT"
       case None =>
         if (t.bold && t.font_size >= 1.15 * pageMedianFont) "SECTION_HEADER"
         else if (Bullet.findPrefixOf(t.text).isDefined) "LIST_ITEM"

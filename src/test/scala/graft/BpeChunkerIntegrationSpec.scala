@@ -13,7 +13,15 @@ import graft.functions.{BpeTokenizer, TextFns, Tokens}
   * Local mode shares the JVM, so the [[Tokens.VocabProp]] system property
   * reaches the executor-side fold — on a multi-JVM cluster the same seam
   * is fed by `spark.executorEnv.GRAFT_BPE_VOCAB` (BuildMain's flag sets
-  * both). */
+  * both).
+  *
+  * SEQUENTIAL-SUITE ASSUMPTION: this spec mutates the GLOBAL
+  * [[Tokens.VocabProp]] system property that every other suite's Chunker
+  * reads through Tokens. It is safe because the forked test JVM runs
+  * suites sequentially (sbt's `Test / testForkedParallel` defaults to
+  * false, and this build does not override it); enabling parallel forked
+  * execution would require serializing access around the property
+  * set/clear or these token counts become cross-suite flaky. */
 class BpeChunkerIntegrationSpec extends SparkSpec {
   import spark.implicits._
 

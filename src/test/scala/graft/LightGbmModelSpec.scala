@@ -126,6 +126,39 @@ class LightGbmModelSpec extends AnyFunSuite {
       .map(_.mkString(" "))).toVector)
   }
 
+  test("seam validation rejects models trained against a different contract") {
+    val tokenM = Some(LightGbmModel.parse(tokenModelText))
+    val paraM = Some(LightGbmModel.parse(alwaysBreakParaText))
+    // the in-contract fixtures pass through unchanged
+    assert(PdfModels.validated(tokenM, "token-type", 10, Some(11)) === tokenM)
+    assert(PdfModels.validated(paraM, "paragraph", 5, Some(1)) === paraM)
+    assert(PdfModels.validated(None, "token-type", 10, Some(11)) === None)
+    // wider feature set (e.g. the reference huridocs models): loud, names the contract
+    val wide = Some(LightGbmModel.parse(
+      tokenModelText.replace("max_feature_idx=9", "max_feature_idx=25")))
+    val e1 = intercept[IllegalArgumentException](
+      PdfModels.validated(wide, "token-type", 10, Some(11)))
+    assert(e1.getMessage.contains("feature index 25") &&
+      e1.getMessage.contains("10 entries"))
+    // class-count mismatch: loud
+    val e2 = intercept[IllegalArgumentException](
+      PdfModels.validated(paraM, "token-type", 10, Some(11)))
+    assert(e2.getMessage.contains("num_class=1"))
+  }
+
+  test("out-of-range predicted class falls back to TEXT (reference " +
+    "TokenType.from_index convention), not the last label") {
+    // 12 trees over num_class=12 with class 11 winning -> index 11, outside
+    // the 11-entry TokenTypeLabels -> TEXT (the old clamp said PAGE_FOOTER)
+    val header =
+      "tree\nversion=v4\nnum_class=12\nnum_tree_per_iteration=12\n" +
+        "max_feature_idx=9\n\n"
+    val blocks = (0 to 11).map(i => stump(i, if (i == 11) 5.0 else -5.0))
+    val m = LightGbmModel.parse(header + blocks.mkString("\n") + "\nend of trees\n")
+    val t = tok("x", 0, 0)
+    assert(PdfLayout.classifyToken(t, 10.0, Some(m)) === "TEXT")
+  }
+
   test("default mode (no env, no models) is byte-identical to PdfModels.none") {
     val toks = (0 until 2).flatMap(l => (0 to 7).map(s => tok(s"x$l$s", l, s,
       font = if (l == 0) 14 else 10, bold = l == 0)))
